@@ -1,0 +1,155 @@
+"""Neighbor-search ops (kNN, ball query, radius neighbors).
+
+TPU-native replacements for:
+  * mvpnet/ops/cuda/knn_distance_kernel.cu   (tiled brute-force top-K)
+  * mvpnet/ops/cuda/ball_query_kernel.cu     (first-K-within-radius)
+  * KPConv-PyTorch/cpp_wrappers/cpp_neighbors/neighbors.cpp
+    (batch_nanoflann_neighbors: per-cloud KD-tree radius search)
+
+Instead of KD-trees / hand-written CUDA we compute brute-force distance
+matrices — the cross term is a matmul that rides the MXU, and query chunking
+bounds peak memory. For the point counts in this workload (≤ tens of
+thousands per cloud) this is faster on TPU than any tree could be.
+
+Semantics match the reference exactly (pinned by its numpy test oracles,
+mvpnet/ops/tests/*):
+  * ``knn``: exact top-k by squared distance, ascending.
+  * ``ball_query``: first ``k`` support indices (in index order) with
+    d² < radius²; short rows padded by repeating the first found index.
+  * ``radius_neighbors``: up to ``k`` nearest supports with d² < radius²,
+    sorted by distance; missing slots padded with the shadow index
+    ``num_support`` (neighbors.cpp:319-325 convention).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from mvkpconv_tpu.ops.common import chunked_over_queries, pairwise_sq_dists, pick_chunk
+
+
+def _maybe_vmap(core, query, support, *args):
+    """Dispatch (N,3) or (B,N,3) inputs to an unbatched core fn."""
+    if query.ndim == 2:
+        return core(query, support, *args)
+    if query.ndim == 3:
+        return jax.vmap(lambda q, s: core(q, s, *args))(query, support)
+    raise ValueError(f"expected rank 2 or 3 points, got {query.ndim}")
+
+
+def _pad_k(idx, aux, k: int, fill_idx: int, fill_aux):
+    """Pad the trailing neighbor axis from min(k, Ns) up to k."""
+    short = k - idx.shape[-1]
+    if short <= 0:
+        return idx, aux
+    pad = [(0, 0)] * (idx.ndim - 1) + [(0, short)]
+    idx = jnp.pad(idx, pad, constant_values=fill_idx)
+    aux = jnp.pad(aux, pad, constant_values=fill_aux)
+    return idx, aux
+
+
+def _knn_core(query: jnp.ndarray, support: jnp.ndarray, k: int):
+    ns = support.shape[0]
+    chunk = pick_chunk(query.shape[0], ns)
+    keff = min(k, ns)
+
+    def per_chunk(q):
+        d2 = pairwise_sq_dists(q, support)  # (chunk, Ns)
+        neg, idx = jax.lax.top_k(-d2, keff)
+        return _pad_k(idx.astype(jnp.int32), -neg, k, ns - 1, jnp.inf)
+
+    return chunked_over_queries(per_chunk, query, chunk)
+
+
+def knn(query: jnp.ndarray, support: jnp.ndarray, k: int):
+    """Exact k-nearest-neighbors with squared distances.
+
+    Args:
+      query: (..., Nq, 3); support: (..., Ns, 3). Padded (shadow) support
+        points are naturally never nearest as long as Ns_valid >= k.
+      k: number of neighbors.
+
+    Returns:
+      (idx, sqdist): (..., Nq, k) int32 indices ascending by distance and
+      (..., Nq, k) float32 squared distances.
+    """
+    return _maybe_vmap(functools.partial(_knn_core, k=k), query, support)
+
+
+def _radius_core(query, support, radius: float, k: int):
+    ns = support.shape[0]
+    chunk = pick_chunk(query.shape[0], ns)
+    r2 = jnp.float32(radius) ** 2
+
+    keff = min(k, ns)
+
+    def per_chunk(q):
+        d2 = pairwise_sq_dists(q, support)  # (chunk, Ns)
+        d2 = jnp.where(d2 < r2, d2, jnp.inf)
+        neg, idx = jax.lax.top_k(-d2, keff)
+        valid = jnp.isfinite(neg)
+        idx = jnp.where(valid, idx, ns)
+        idx, _ = _pad_k(idx.astype(jnp.int32), -neg, k, ns, jnp.inf)
+        return idx
+
+    return chunked_over_queries(per_chunk, query, chunk)
+
+
+def radius_neighbors(query: jnp.ndarray, support: jnp.ndarray, radius: float, k: int):
+    """Up-to-k nearest neighbors within ``radius``, shadow-padded.
+
+    Returns (..., Nq, k) int32; entries equal to Ns mean "no neighbor" and
+    must be routed to a zero shadow feature row by consumers (the KPConv op
+    and pooling blocks do this). Matches the reference's calibrated
+    ``neighborhood_limits`` truncation of the C++ radius search.
+    """
+    return _maybe_vmap(
+        functools.partial(_radius_core, radius=radius, k=k), query, support
+    )
+
+
+def _ball_core(query, support, radius: float, k: int):
+    ns = support.shape[0]
+    chunk = pick_chunk(query.shape[0], ns)
+    r2 = jnp.float32(radius) ** 2
+
+    keff = min(k, ns)
+
+    def per_chunk(q):
+        d2 = pairwise_sq_dists(q, support)  # (chunk, Ns)
+        inside = d2 < r2
+        order = jnp.where(inside, jnp.arange(ns, dtype=jnp.int32), ns)
+        # top_k of negated index-order == first k support indices inside.
+        neg, _ = jax.lax.top_k(-order, keff)
+        idx = -neg
+        idx, _ = _pad_k(idx, idx, k, ns, ns)
+        found = idx < ns
+        first = idx[:, :1]  # rows with zero hits keep ns (caller beware,
+        # mirroring the reference which asserts > 0 hits in its oracle)
+        idx = jnp.where(found, idx, first)
+        sqd = jnp.take_along_axis(
+            jnp.concatenate([d2, jnp.zeros_like(d2[:, :1])], axis=1),
+            jnp.minimum(idx, ns),
+            axis=1,
+        )
+        return idx.astype(jnp.int32), sqd
+
+    return chunked_over_queries(per_chunk, query, chunk)
+
+
+def ball_query(query, support, radius: float, k: int, return_distance: bool = False):
+    """First-k supports within ``radius`` of each query (index order).
+
+    Short rows are padded with the row's first found index, matching
+    mvpnet/ops/cuda/ball_query_kernel.cu as pinned by
+    mvpnet/ops/tests/test_ball_query.py:33-38.
+    """
+    idx, sqd = _maybe_vmap(
+        functools.partial(_ball_core, radius=radius, k=k), query, support
+    )
+    if return_distance:
+        return idx, sqd
+    return idx
