@@ -1,0 +1,399 @@
+"""KPConv network blocks (Flax linen).
+
+TPU-native re-design of KPConv-PyTorch/models/blocks.py. Differences from
+the reference (deliberate, for XLA/TPU):
+  * dense batched layout ``(B, N, C)`` instead of stacked ragged clouds;
+  * masked batch statistics — padded slots are excluded from BatchNorm
+    moments (the reference normalizes over all stacked points,
+    blocks.py:453-462, and has no padding to worry about);
+  * the KPConv op is expressed as two einsum contractions that XLA maps to
+    the MXU (reference does gather + per-kernel-point matmuls,
+    blocks.py:277-374); a fused Pallas kernel can swap in underneath
+    ``kpconv_apply`` without touching the modules;
+  * neighbor indices use the shadow convention (index == N ⇒ zero feature),
+    identical to the reference's shadow points.
+
+Block semantics (KPConv math, bottleneck structure, leaky-relu 0.1, max-pool
+shortcut on strided blocks, closest-pool upsampling) match the reference
+exactly so that ``architecture`` lists mean the same thing.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mvkpconv_tpu.models.kernel_points import kernel_point_positions
+from mvkpconv_tpu.ops.gather import group_points, pad_shadow_row
+
+
+def gather_neighbors(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather (B, Ns, C) features at (B, Nq, K) indices with shadow → 0."""
+    return group_points(pad_shadow_row(x), idx)
+
+
+def max_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Max over neighbor features (blocks.py:94-109 ``max_pool``).
+
+    Shadow slots contribute zeros, like the reference's zero shadow row.
+    """
+    return jnp.max(gather_neighbors(x, idx), axis=-2)
+
+
+def closest_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Pool features from the closest (first) neighbor (blocks.py:79-91)."""
+    return gather_neighbors(x, idx[..., :1])[..., 0, :]
+
+
+def kpconv_apply(
+    q_pts: jnp.ndarray,
+    s_pts: jnp.ndarray,
+    neighb_inds: jnp.ndarray,
+    x: jnp.ndarray,
+    kernel_pts: jnp.ndarray,
+    weights: jnp.ndarray,
+    kp_extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+    kp_offsets: Optional[jnp.ndarray] = None,
+    compute_dtype: Any = jnp.float32,
+) -> jnp.ndarray:
+    """Kernel point convolution (blocks.py:237-374 forward, batched).
+
+    Args:
+      q_pts: (B, Nq, 3) query points.
+      s_pts: (B, Ns, 3) support points (shadow-padded invalid slots are fine:
+        their 1e6 coordinates give zero influence).
+      neighb_inds: (B, Nq, K) int32, shadow = Ns.
+      x: (B, Ns, Cin) support features.
+      kernel_pts: (M, 3) kernel point positions (radius-scaled).
+      weights: (M, Cin, Cout) convolution weights.
+      kp_extent: influence distance of each kernel point.
+      influence: 'constant' | 'linear' | 'gaussian'.
+      aggregation: 'sum' | 'closest'.
+      kp_offsets: optional (B, Nq, M, 3) deformable offsets added to the
+        kernel point positions per query point.
+
+    Returns:
+      (B, Nq, Cout).
+    """
+    s_pad = jnp.concatenate(
+        [s_pts, jnp.full_like(s_pts[:, :1], 1e6)], axis=1
+    )  # shadow support point at +1e6 (blocks.py:277)
+    neighbors = group_points(s_pad, neighb_inds) - q_pts[:, :, None, :]
+    # (B, Nq, K, M) squared distances between neighbors and kernel points
+    kp = kernel_pts[None, None, None].astype(jnp.float32)
+    if kp_offsets is not None:
+        kp = kp + kp_offsets[:, :, None]
+    diff = neighbors[..., None, :] - kp
+    sq = jnp.sum(diff * diff, axis=-1)
+
+    if influence == "constant":
+        all_w = jnp.ones_like(sq)
+    elif influence == "linear":
+        all_w = jnp.maximum(1.0 - jnp.sqrt(sq) / kp_extent, 0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        all_w = jnp.exp(-sq / (2.0 * sigma**2))
+    else:
+        raise ValueError(f"unknown KP influence {influence!r}")
+
+    if aggregation == "closest":
+        closest = jnp.argmin(sq, axis=-1)
+        all_w = all_w * jax.nn.one_hot(closest, kernel_pts.shape[0], dtype=all_w.dtype)
+    elif aggregation != "sum":
+        raise ValueError(f"unknown aggregation mode {aggregation!r}")
+
+    nx = gather_neighbors(x, neighb_inds)  # (B, Nq, K, Cin), shadow → 0
+    # weighted features per kernel point, then the big matmul
+    wf = jnp.einsum(
+        "bqkm,bqkc->bqmc",
+        all_w.astype(compute_dtype),
+        nx.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    m, cin, cout = weights.shape
+    out = jax.lax.dot_general(
+        wf.reshape(wf.shape[0], wf.shape[1], m * cin).astype(compute_dtype),
+        weights.reshape(m * cin, cout).astype(compute_dtype),
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over valid points only (cf. BatchNormBlock, blocks.py:430-462).
+
+    The reference normalizes over all stacked points with momentum 0.02
+    (torch convention: running ← 0.98·running + 0.02·batch). Padded slots
+    must not pollute moments here, hence the mask.
+    """
+
+    use_bn: bool = True
+    momentum: float = 0.02  # torch-style update fraction
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        c = x.shape[-1]
+        if not self.use_bn:
+            bias = self.param("bias", nn.initializers.zeros, (c,))
+            return x + bias
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        if train:
+            if mask is None:
+                mean = jnp.mean(x, axis=tuple(range(x.ndim - 1)))
+                var = jnp.var(x, axis=tuple(range(x.ndim - 1)))
+            else:
+                m = mask.astype(x.dtype)[..., None]
+                count = jnp.maximum(jnp.sum(m), 1.0)
+                mean = jnp.sum(x * m, axis=tuple(range(x.ndim - 1))) / count
+                centered = (x - mean) * m
+                var = jnp.sum(centered**2, axis=tuple(range(x.ndim - 1))) / count
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y
+
+
+class UnaryBlock(nn.Module):
+    """1×1 MLP + BN + LeakyReLU(0.1) (blocks.py:470-504)."""
+
+    out_dim: int
+    use_bn: bool = True
+    bn_momentum: float = 0.02
+    no_relu: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, train: bool = False):
+        x = nn.Dense(self.out_dim, use_bias=False, name="mlp")(x)
+        x = MaskedBatchNorm(self.use_bn, self.bn_momentum, name="bn")(x, mask, train)
+        if not self.no_relu:
+            x = nn.leaky_relu(x, 0.1)
+        return x
+
+
+class KPConvLayer(nn.Module):
+    """The learned KPConv op: kernel points + (M, Cin, Cout) weights.
+
+    ``radius`` fixes the kernel point layout scale: points span
+    ``radius · KP_extent / conv_radius`` like load_kernels(extent) in
+    blocks.py:143-235. Deformable variant predicts per-point kernel offsets
+    with a rigid offset KPConv (blocks.py:237-270).
+    """
+
+    in_dim: int
+    out_dim: int
+    radius: float
+    kp_extent: float
+    num_kernel_points: int = 15
+    influence: str = "linear"
+    aggregation: str = "sum"
+    deformable: bool = False
+    compute_dtype: Any = jnp.float32
+
+    def setup(self):
+        # kernel points scale with the conv radius (blocks.py:225-235: the
+        # unit disposition — shell at 0.66 — times `radius`); kp_extent only
+        # sets the influence width.
+        kp = kernel_point_positions(self.radius, self.num_kernel_points)
+        self.kernel_pts = jnp.asarray(kp)
+        std = np.sqrt(2.0 / (self.in_dim * self.num_kernel_points))
+        self.weights = self.param(
+            "weights",
+            nn.initializers.normal(stddev=std),
+            (self.num_kernel_points, self.in_dim, self.out_dim),
+        )
+        if self.deformable:
+            self.offset_conv = KPConvLayer(
+                in_dim=self.in_dim,
+                out_dim=self.num_kernel_points * 3,
+                radius=self.radius,
+                kp_extent=self.kp_extent,
+                num_kernel_points=self.num_kernel_points,
+                influence=self.influence,
+                aggregation=self.aggregation,
+                deformable=False,
+                compute_dtype=self.compute_dtype,
+                name="offset_conv",
+            )
+            self.offset_bias = self.param(
+                "offset_bias", nn.initializers.zeros, (self.num_kernel_points * 3,)
+            )
+
+    def __call__(self, q_pts, s_pts, neighb_inds, x):
+        offsets = None
+        if self.deformable:
+            off_feat = self.offset_conv(q_pts, s_pts, neighb_inds, x) + self.offset_bias
+            b, nq = off_feat.shape[:2]
+            offsets = off_feat.reshape(b, nq, self.num_kernel_points, 3) * self.kp_extent
+            self.sow("intermediates", "deformed_offsets", offsets)
+            # distances used by the fitting regularizer (blocks.py:300-305)
+        return kpconv_apply(
+            q_pts,
+            s_pts,
+            neighb_inds,
+            x,
+            self.kernel_pts,
+            self.weights,
+            self.kp_extent,
+            self.influence,
+            self.aggregation,
+            kp_offsets=offsets,
+            compute_dtype=self.compute_dtype,
+        )
+
+
+class SimpleBlock(nn.Module):
+    """KPConv → BN → LeakyReLU, output out_dim//2 (blocks.py:507-561)."""
+
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    cfg: Any  # KPConfig-like
+
+    @nn.compact
+    def __call__(self, x, pyr, train: bool = False):
+        extent = self.radius * self.cfg.kp_extent / self.cfg.conv_radius
+        strided = "strided" in self.block_name
+        l = self.layer_ind
+        q = pyr.points[l + 1] if strided else pyr.points[l]
+        inds = pyr.pools[l] if strided else pyr.neighbors[l]
+        out_mask = pyr.masks[l + 1] if strided else pyr.masks[l]
+        conv = KPConvLayer(
+            in_dim=self.in_dim,
+            out_dim=self.out_dim // 2,
+            radius=self.radius,
+            kp_extent=extent,
+            num_kernel_points=self.cfg.num_kernel_points,
+            influence=self.cfg.kp_influence,
+            aggregation=self.cfg.aggregation_mode,
+            deformable="deform" in self.block_name,
+            compute_dtype=self.cfg.compute_dtype,
+            name="KPConv",
+        )
+        x = conv(q, pyr.points[l], inds, x)
+        x = MaskedBatchNorm(self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn")(
+            x, out_mask, train
+        )
+        return nn.leaky_relu(x, 0.1)
+
+
+class ResnetBottleneckBlock(nn.Module):
+    """unary↓4 → KPConv → unary↑ (+ pooled shortcut) (blocks.py:564-649)."""
+
+    block_name: str
+    in_dim: int
+    out_dim: int
+    radius: float
+    layer_ind: int
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, pyr, train: bool = False):
+        extent = self.radius * self.cfg.kp_extent / self.cfg.conv_radius
+        strided = "strided" in self.block_name
+        l = self.layer_ind
+        q = pyr.points[l + 1] if strided else pyr.points[l]
+        inds = pyr.pools[l] if strided else pyr.neighbors[l]
+        out_mask = pyr.masks[l + 1] if strided else pyr.masks[l]
+        mid = self.out_dim // 4
+
+        h = x
+        if self.in_dim != mid:
+            h = UnaryBlock(
+                mid, self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="unary1"
+            )(h, pyr.masks[l], train)
+        conv = KPConvLayer(
+            in_dim=mid,
+            out_dim=mid,
+            radius=self.radius,
+            kp_extent=extent,
+            num_kernel_points=self.cfg.num_kernel_points,
+            influence=self.cfg.kp_influence,
+            aggregation=self.cfg.aggregation_mode,
+            deformable="deform" in self.block_name,
+            compute_dtype=self.cfg.compute_dtype,
+            name="KPConv",
+        )
+        h = conv(q, pyr.points[l], inds, h)
+        h = MaskedBatchNorm(
+            self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn_conv"
+        )(h, out_mask, train)
+        h = nn.leaky_relu(h, 0.1)
+        h = UnaryBlock(
+            self.out_dim,
+            self.cfg.use_batch_norm,
+            self.cfg.batch_norm_momentum,
+            no_relu=True,
+            name="unary2",
+        )(h, out_mask, train)
+
+        shortcut = max_pool(x, inds) if strided else x
+        if self.in_dim != self.out_dim:
+            shortcut = UnaryBlock(
+                self.out_dim,
+                self.cfg.use_batch_norm,
+                self.cfg.batch_norm_momentum,
+                no_relu=True,
+                name="unary_shortcut",
+            )(shortcut, out_mask, train)
+        return nn.leaky_relu(h + shortcut, 0.1)
+
+
+class NearestUpsampleBlock(nn.Module):
+    """Copy features from the closest coarser point (blocks.py:665-680)."""
+
+    layer_ind: int  # level being upsampled TO is layer_ind - 1
+
+    def __call__(self, x, pyr, train: bool = False):
+        return closest_pool(x, pyr.upsamples[self.layer_ind - 1])
+
+
+class MaxPoolBlock(nn.Module):
+    layer_ind: int
+
+    def __call__(self, x, pyr, train: bool = False):
+        return max_pool(x, pyr.pools[self.layer_ind + 1])
+
+
+class GlobalAverageBlock(nn.Module):
+    """Masked mean over the coarsest level (blocks.py:652-662)."""
+
+    def __call__(self, x, pyr, train: bool = False):
+        m = pyr.masks[-1].astype(x.dtype)[..., None]
+        return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
+
+
+def block_decider(
+    block_name: str, radius: float, in_dim: int, out_dim: int, layer_ind: int, cfg
+) -> nn.Module:
+    """Instantiate a block by architecture-list name (blocks.py:387-427)."""
+    if block_name == "unary":
+        return UnaryBlock(out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum)
+    if block_name in ("simple", "simple_deformable", "simple_strided",
+                      "simple_deformable_strided"):
+        return SimpleBlock(block_name, in_dim, out_dim, radius, layer_ind, cfg)
+    if block_name in ("resnetb", "resnetb_deformable", "resnetb_strided",
+                      "resnetb_deformable_strided"):
+        return ResnetBottleneckBlock(block_name, in_dim, out_dim, radius, layer_ind, cfg)
+    if block_name == "nearest_upsample":
+        return NearestUpsampleBlock(layer_ind)
+    if block_name == "max_pool" or block_name == "max_pool_wide":
+        return MaxPoolBlock(layer_ind)
+    if block_name == "global_average":
+        return GlobalAverageBlock()
+    raise ValueError(f"unknown block name in architecture: {block_name!r}")

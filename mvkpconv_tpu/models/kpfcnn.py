@@ -1,0 +1,142 @@
+"""KPFCNN segmentation network built from an ``architecture`` block list.
+
+Re-design of KPConv-PyTorch/models/architectures.py:189-394 (KPFCNN). The
+block-list contract is preserved: the same list of block names drives both
+model construction here and pyramid budgets (ops/pyramid.py), exactly like
+the reference where ``config.architecture`` drives architectures.py:219-294
+and datasets/common.py:560-652 simultaneously.
+
+The encoder/decoder dimension bookkeeping (skip dims recorded at each
+strided block, decoder concat after each upsample, 'simple' halving) follows
+architectures.py:219-294 so checkpoints/architectures are interchangeable at
+the topology level. The head applies UnaryBlocks with default activation,
+including the reference's quirk of a leaky-relu on the logits layer
+(architectures.py:296-297 passes no_relu=False for head_softmax).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvkpconv_tpu.models import blocks as B
+from mvkpconv_tpu.ops.pyramid import Pyramid
+
+
+def plan_architecture(cfg) -> Tuple[list, list, list]:
+    """Python-time pass over the block list computing dims/radii/levels.
+
+    Returns (encoder_plan, decoder_plan, skip_dims) where each plan entry is
+    ``(block_name, in_dim, out_dim, radius, layer_ind, concat_skip)``.
+    """
+    layer = 0
+    r = cfg.first_subsampling_dl * cfg.conv_radius
+    in_dim = cfg.in_features_dim
+    out_dim = cfg.first_features_dim
+
+    encoder, skip_dims = [], []
+    arch = list(cfg.architecture)
+    start_i = len(arch)
+    for i, block in enumerate(arch):
+        if any(t in block for t in ("pool", "strided", "upsample", "global")):
+            skip_dims.append(in_dim)
+        if "upsample" in block:
+            start_i = i
+            break
+        encoder.append((block, in_dim, out_dim, r, layer, False))
+        in_dim = out_dim // 2 if "simple" in block else out_dim
+        if "pool" in block or "strided" in block:
+            layer += 1
+            r *= 2
+            out_dim *= 2
+
+    decoder = []
+    for j, block in enumerate(arch[start_i:]):
+        concat = j > 0 and "upsample" in arch[start_i + j - 1]
+        if concat:
+            in_dim += skip_dims[layer]
+        decoder.append((block, in_dim, out_dim, r, layer, concat))
+        in_dim = out_dim
+        if "upsample" in block:
+            layer -= 1
+            r *= 0.5
+            out_dim = out_dim // 2
+    return encoder, decoder, skip_dims
+
+
+class KPFCNNEncoder(nn.Module):
+    """Encoder half; returns bottleneck features + skip features."""
+
+    cfg: Any
+    plan: Tuple[tuple, ...]  # encoder plan entries
+
+    @nn.compact
+    def __call__(self, x, pyr: Pyramid, train: bool = False):
+        skips = []
+        arch = list(self.cfg.architecture)
+        for i, (name, in_dim, out_dim, r, layer, _) in enumerate(self.plan):
+            # skip features are recorded just before each strided block
+            # (architectures.py:328-331)
+            if any(t in name for t in ("pool", "strided")):
+                skips.append(x)
+            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg)
+            x = block(x, pyr, train)
+        return x, skips
+
+
+class KPFCNNDecoder(nn.Module):
+    """Decoder half with skip concatenation after each upsample."""
+
+    cfg: Any
+    plan: Tuple[tuple, ...]
+
+    @nn.compact
+    def __call__(self, x, skips, pyr: Pyramid, train: bool = False):
+        for name, in_dim, out_dim, r, layer, concat in self.plan:
+            if concat:
+                x = jnp.concatenate([x, skips.pop()], axis=-1)
+            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg)
+            if isinstance(block, B.UnaryBlock):
+                x = block(x, pyr.masks[layer], train)
+            else:
+                x = block(x, pyr, train)
+        return x
+
+
+class KPFCNNHead(nn.Module):
+    """head_mlp + head_softmax (architectures.py:296-297,340-341)."""
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        x = B.UnaryBlock(self.cfg.first_features_dim, use_bn=False, name="head_mlp")(
+            x, mask, train
+        )
+        x = B.UnaryBlock(self.cfg.num_classes, use_bn=False, name="head_softmax")(
+            x, mask, train
+        )
+        return x
+
+
+class KPFCNN(nn.Module):
+    """3D-only KPConv segmentation baseline (train_ScanNet_baseline.py path).
+
+    Call with level-0 features ``(B, N0, in_features_dim)`` and a ``Pyramid``;
+    returns per-point logits ``(B, N0, num_classes)``.
+    """
+
+    cfg: Any
+
+    def setup(self):
+        enc, dec, _ = plan_architecture(self.cfg)
+        self.encoder = KPFCNNEncoder(self.cfg, tuple(enc), name="encoder")
+        self.decoder = KPFCNNDecoder(self.cfg, tuple(dec), name="decoder")
+        self.head = KPFCNNHead(self.cfg, name="head")
+
+    def __call__(self, features, pyr: Pyramid, train: bool = False):
+        x, skips = self.encoder(features, pyr, train)
+        x = self.decoder(x, skips, pyr, train)
+        return self.head(x, pyr.masks[0], train)

@@ -1,0 +1,134 @@
+"""UNet on a ResNet34 encoder for 2D semantic segmentation (Flax, NHWC).
+
+Re-design of mvpnet/models/unet_resnet34.py:9-139: ResNet34 encoder with a
+stride-1 stem conv (full-resolution first feature map, unet_resnet34.py:19-20),
+four deconv+concat decoder stages, pad-to-16/crop, and two outputs:
+``seg_logit`` (num_classes) and ``feature`` (64 channels at input resolution)
+— the 64-d per-pixel features are what gets lifted onto points by the fusion
+models.
+
+TPU notes: NHWC layout, bf16-friendly convs (set ``compute_dtype``), BN with
+torch-equivalent momentum. Weights can be imported from a torchvision
+ResNet34 checkpoint via ``load_torch_resnet34_encoder`` (no network access is
+assumed; training from scratch is the default).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class BasicBlock(nn.Module):
+    """torchvision ResNet BasicBlock (two 3×3 convs + identity/proj)."""
+
+    filters: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        y = nn.Conv(
+            self.filters, (3, 3), strides=(self.stride, self.stride),
+            padding=1, use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="conv2",
+        )(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(y)
+        if self.stride != 1 or x.shape[-1] != self.filters:
+            residual = nn.Conv(
+                self.filters, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="proj",
+            )(x)
+            residual = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name="proj_bn"
+            )(residual)
+        return nn.relu(y + residual)
+
+
+class _DeconvBlock(nn.Module):
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.ConvTranspose(
+            self.filters, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv"
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        return nn.relu(x)
+
+
+class _ConvBlock(nn.Module):
+    filters: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.filters, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        return nn.relu(x)
+
+
+RESNET34_LAYERS = ((64, 3), (128, 4), (256, 6), (512, 3))
+
+
+class UNetResNet34(nn.Module):
+    """Returns {'seg_logit': (B,H,W,num_classes), 'feature': (B,H,W,64)}."""
+
+    num_classes: int = 20
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, image: jnp.ndarray, train: bool = False):
+        h, w = image.shape[1], image.shape[2]
+        pad_h = (-h) % 16
+        pad_w = (-w) % 16
+        x = jnp.pad(image, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+
+        # ----- encoder -----
+        skips = []
+        x = nn.Conv(
+            64, (7, 7), strides=(1, 1), padding=3, use_bias=False,
+            dtype=self.dtype, name="encoder0",
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn0")(x)
+        x = nn.relu(x)
+        skips.append(x)  # full res, 64ch
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        for stage, (filters, depth) in enumerate(RESNET34_LAYERS):
+            stride = 1 if stage == 0 else 2
+            for i in range(depth):
+                x = BasicBlock(
+                    filters, stride if i == 0 else 1, self.dtype,
+                    name=f"layer{stage + 1}_{i}",
+                )(x, train)
+            if stage == 2 and self.dropout > 0:
+                x = nn.Dropout(self.dropout, deterministic=not train)(x)
+            if stage < 3:
+                skips.append(x)
+        if self.dropout > 0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+
+        # ----- decoder (unet_resnet34.py:33-45 channel plan) -----
+        for stage, (filters, skip) in enumerate(zip((256, 128, 64, 64), reversed(skips))):
+            x = _DeconvBlock(filters, self.dtype, name=f"deconv{4 - stage}")(x, train)
+            x = jnp.concatenate([x, skip], axis=-1)
+            out_c = 64 if filters == 64 else filters
+            x = _ConvBlock(out_c, self.dtype, name=f"decoder{3 - stage}")(x, train)
+
+        if pad_h or pad_w:
+            x = x[:, :h, :w, :]
+        seg_logit = nn.Conv(self.num_classes, (1, 1), name="logit")(x)
+        return {"seg_logit": seg_logit, "feature": x}

@@ -1,0 +1,177 @@
+"""Configuration for KPConv-family models and training.
+
+Re-design of KPConv-PyTorch/utils/config.py (class-attribute Config with
+parameters.txt round-trip) as a frozen dataclass. Field names keep the
+reference vocabulary (architecture, in_radius, first_subsampling_dl,
+conv_radius, KP_extent, ...) so reference configs translate 1:1; a
+``save``/``load`` text round-trip keeps checkpoint dirs self-describing
+(config.py:281-431). TPU-specific additions: static point/neighbor budgets,
+batch size as a leading array dim, compute dtype, mesh shape.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from pathlib import Path
+from typing import Any, Optional, Tuple
+
+import jax.numpy as jnp
+
+# The production architecture ("rigid deeper",
+# train_ScanNet_sphere.py:129-150): 5 levels, 14 conv blocks, 4 upsamples.
+ARCHITECTURE_DEEPER = (
+    "simple",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb",
+    "nearest_upsample",
+    "unary",
+    "nearest_upsample",
+    "unary",
+    "nearest_upsample",
+    "unary",
+    "nearest_upsample",
+    "unary",
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class KPConfig:
+    """Static model + training configuration (hashable, jit-friendly)."""
+
+    # ----- dataset / task -----
+    num_classes: int = 20
+    ignore_label: int = -1
+
+    # ----- model topology (the reference's central contract) -----
+    architecture: Tuple[str, ...] = ARCHITECTURE_DEEPER
+    num_kernel_points: int = 15
+    in_radius: float = 1.2
+    first_subsampling_dl: float = 0.04
+    conv_radius: float = 2.5
+    deform_radius: float = 6.0
+    kp_extent: float = 1.2
+    kp_influence: str = "linear"  # constant | linear | gaussian
+    aggregation_mode: str = "sum"  # sum | closest
+    first_features_dim: int = 128
+    in_features_dim: int = 66
+    modulated: bool = False
+    use_batch_norm: bool = True
+    batch_norm_momentum: float = 0.02
+
+    # ----- fusion (architectures_sphere*.py variants) -----
+    fusion: str = "none"  # none | early | middle | late
+    num_views: int = 5
+    image_height: int = 120
+    image_width: int = 160
+    feature_2d_dim: int = 64
+    use_point_color: bool = True
+    pixel_knn: int = 3  # kNN pixels per point for 2D→3D lifting
+
+    # ----- deformable regularizer -----
+    deform_fitting_power: float = 1.0
+    repulse_extent: float = 1.2
+
+    # ----- training -----
+    max_epoch: int = 500
+    epoch_steps: int = 500
+    validation_size: int = 50
+    checkpoint_gap: int = 50
+    learning_rate: float = 1e-2
+    momentum: float = 0.98
+    lr_decay: float = 0.1 ** (1 / 150)  # per-epoch exponential decay
+    grad_clip_value: float = 100.0  # reference clips grad VALUES at 100
+    batch_num: int = 5  # spheres per device batch
+    class_weights: Optional[Tuple[float, ...]] = None
+    segloss_balance: str = "none"
+
+    # ----- augmentation -----
+    augment_scale_anisotropic: bool = True
+    augment_symmetries: Tuple[bool, bool, bool] = (True, False, False)
+    augment_rotation: str = "vertical"
+    augment_scale_min: float = 0.9
+    augment_scale_max: float = 1.1
+    augment_noise: float = 0.001
+    augment_color: float = 1.0
+
+    # ----- TPU static budgets (replaces the reference's dynamic batch
+    # packing / calibrated neighborhood limits, ScanNet_sphere.py:1249-1576) --
+    num_points: Tuple[int, ...] = (16384, 4096, 1024, 256, 128)
+    conv_neighbors: Tuple[int, ...] = (34, 34, 34, 34, 34)
+    pool_neighbors: Tuple[int, ...] = (34, 34, 34, 34)
+    compute_dtype: Any = jnp.float32
+    mesh_shape: Tuple[int, ...] = (1,)
+
+    # ------------------------------------------------------------------
+    @property
+    def num_layers(self) -> int:
+        from mvkpconv_tpu.ops.pyramid import num_layers_from_architecture
+
+        return num_layers_from_architecture(self.architecture)
+
+    def pyramid_spec(self):
+        from mvkpconv_tpu.ops.pyramid import PyramidSpec
+
+        levels = self.num_layers
+        deform = []
+        has_deform = False
+        for block in self.architecture:
+            if "upsample" in block or "global" in block:
+                break
+            has_deform = has_deform or ("deform" in block)
+            if "pool" in block or "strided" in block:
+                deform.append(has_deform)
+                has_deform = False
+        deform.append(has_deform)
+        return PyramidSpec(
+            num_points=tuple(self.num_points[:levels]),
+            first_subsampling_dl=self.first_subsampling_dl,
+            conv_radius=self.conv_radius,
+            deform_radius=self.deform_radius,
+            conv_neighbors=tuple(self.conv_neighbors[:levels]),
+            pool_neighbors=tuple(self.pool_neighbors[: levels - 1]),
+            deform_levels=tuple(deform),
+        )
+
+    def replace(self, **kwargs) -> "KPConfig":
+        return dataclasses.replace(self, **kwargs)
+
+    # ----- parameters.txt-style round trip (utils/config.py:281-431) -----
+    def save(self, path) -> None:
+        lines = ["# mvkpconv_tpu parameters"]
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if f.name == "compute_dtype":
+                v = jnp.dtype(v).name
+            lines.append(f"{f.name} = {v!r}")
+        Path(path).write_text("\n".join(lines) + "\n")
+
+    @classmethod
+    def load(cls, path) -> "KPConfig":
+        kwargs = {}
+        names = {f.name for f in dataclasses.fields(cls)}
+        for line in Path(path).read_text().splitlines():
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, val = line.split("=", 1)
+            key = key.strip()
+            if key not in names:
+                continue
+            val = val.strip()
+            if key == "compute_dtype":
+                kwargs[key] = jnp.dtype(ast.literal_eval(val))
+            else:
+                kwargs[key] = ast.literal_eval(val)
+        return cls(**kwargs)

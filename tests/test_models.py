@@ -1,0 +1,169 @@
+"""Model construction + forward tests (shape/mask/jit), mirroring the
+reference's inline smoke tests (unet_resnet34.py:141-152, pn2ssg.py:141-159,
+mvpnet_3d.py:137-229) but as a real suite."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvkpconv_tpu.models import KPFCNN, MVPNet3D, PN2SSG, UNetResNet34
+from mvkpconv_tpu.models.kpfcnn import plan_architecture
+from mvkpconv_tpu.ops import masked_points
+from mvkpconv_tpu.ops.pyramid import build_pyramid
+from mvkpconv_tpu.training.config import KPConfig
+
+TINY_ARCH = (
+    "simple",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "resnetb_strided",
+    "resnetb",
+    "nearest_upsample",
+    "unary",
+    "nearest_upsample",
+    "unary",
+)
+
+
+def tiny_config(**kw):
+    base = dict(
+        architecture=TINY_ARCH,
+        num_classes=5,
+        in_features_dim=4,
+        first_features_dim=16,
+        first_subsampling_dl=0.1,
+        num_points=(256, 64, 16),
+        conv_neighbors=(16, 16, 16),
+        pool_neighbors=(16, 16),
+    )
+    base.update(kw)
+    return KPConfig(**base)
+
+
+def test_plan_architecture_dims():
+    cfg = tiny_config()
+    enc, dec, skips = plan_architecture(cfg)
+    assert len(enc) == 6 and len(dec) == 4
+    # first block: in = in_features_dim, out = first_features_dim
+    assert enc[0][1] == 4 and enc[0][2] == 16
+    # 'simple' halves: next in_dim is 8
+    assert enc[1][1] == 8
+    # skip dims recorded at each strided block + bottleneck entry
+    assert skips == [16, 32, 64]
+    # decoder concat flags on the blocks after upsamples
+    assert [d[5] for d in dec] == [False, True, False, True]
+
+
+def _pyramid_batch(rng, cfg, b=2):
+    n0 = cfg.num_points[0]
+    pts = rng.rand(b, n0, 3).astype(np.float32) * 1.5
+    mask = np.ones((b, n0), bool)
+    mask[:, -30:] = False
+    pts = np.asarray(masked_points(jnp.asarray(pts), jnp.asarray(mask)))
+    pyr = build_pyramid(jnp.asarray(pts), jnp.asarray(mask), cfg.pyramid_spec())
+    feats = rng.randn(b, n0, cfg.in_features_dim).astype(np.float32)
+    return pyr, jnp.asarray(feats)
+
+
+def test_kpfcnn_forward_shapes(rng):
+    cfg = tiny_config()
+    pyr, feats = _pyramid_batch(rng, cfg)
+    model = KPFCNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr)
+    logits = model.apply(variables, feats, pyr)
+    assert logits.shape == (2, 256, 5)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_kpfcnn_train_updates_batch_stats(rng):
+    cfg = tiny_config()
+    pyr, feats = _pyramid_batch(rng, cfg)
+    model = KPFCNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr)
+    before = jax.tree_util.tree_leaves(variables["batch_stats"])[0]
+    logits, updates = model.apply(
+        variables, feats, pyr, train=True, mutable=["batch_stats"]
+    )
+    after = jax.tree_util.tree_leaves(updates["batch_stats"])[0]
+    assert logits.shape == (2, 256, 5)
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_kpfcnn_grad_flows(rng):
+    cfg = tiny_config()
+    pyr, feats = _pyramid_batch(rng, cfg)
+    model = KPFCNN(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feats, pyr)
+
+    def loss_fn(params):
+        out = model.apply({"params": params, "batch_stats": variables["batch_stats"]},
+                          feats, pyr)
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
+    assert max(norms) > 0 and all(np.isfinite(n) for n in norms)
+
+
+def test_unet_resnet34_shapes(rng):
+    model = UNetResNet34(num_classes=7)
+    img = jnp.asarray(rng.rand(2, 120, 160, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), img)
+    out = model.apply(variables, img)
+    assert out["seg_logit"].shape == (2, 120, 160, 7)
+    assert out["feature"].shape == (2, 120, 160, 64)
+
+
+def test_pn2ssg_shapes(rng):
+    model = PN2SSG(num_classes=6, num_centroids=(64, 16, 8, 4))
+    pts = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+    feats = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), pts, feats)
+    logits = model.apply(variables, pts, feats)
+    assert logits.shape == (2, 256, 6)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_mvpnet3d_forward(rng):
+    b, v, h, w, n, k = 1, 2, 32, 48, 128, 3
+    batch = {
+        "points": jnp.asarray(rng.rand(b, n, 3).astype(np.float32)),
+        "images": jnp.asarray(rng.rand(b, v, h, w, 3).astype(np.float32)),
+        "image_xyz": jnp.asarray(rng.rand(b, v, h, w, 3).astype(np.float32)),
+        "knn_indices": jnp.asarray(
+            rng.randint(0, v * h * w, size=(b, n, k)).astype(np.int32)
+        ),
+    }
+    model = MVPNet3D(num_classes=6)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    logits = model.apply(variables, batch)
+    assert logits.shape == (b, n, 6)
+
+
+def test_mvpnet_frozen_2d_blocks_grads(rng):
+    b, v, h, w, n, k = 1, 1, 16, 16, 64, 3
+    batch = {
+        "points": jnp.asarray(rng.rand(b, n, 3).astype(np.float32)),
+        "images": jnp.asarray(rng.rand(b, v, h, w, 3).astype(np.float32)),
+        "image_xyz": jnp.asarray(rng.rand(b, v, h, w, 3).astype(np.float32)),
+        "knn_indices": jnp.asarray(
+            rng.randint(0, v * h * w, size=(b, n, k)).astype(np.int32)
+        ),
+    }
+    model = MVPNet3D(num_classes=4, freeze_2d=True)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]}, batch
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    g2d = jax.tree_util.tree_leaves(g["net_2d"])
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in g2d)
+    g3d = jax.tree_util.tree_leaves(g["net_3d"])
+    assert max(float(jnp.abs(x).max()) for x in g3d) > 0
