@@ -8,8 +8,10 @@ from mvkpconv_tpu.models.unet2d import UNetResNet34
 from mvkpconv_tpu.models.feature_aggregation import FeatureAggregation
 from mvkpconv_tpu.models.pn2 import PN2SSG
 from mvkpconv_tpu.models.mvpnet3d import MVPNet3D
+from mvkpconv_tpu.models.mvkpconv import MVKPConv
 
 __all__ = [
+    "MVKPConv",
     "kernel_point_positions",
     "blocks",
     "KPFCNN",

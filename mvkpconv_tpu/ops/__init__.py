@@ -21,6 +21,7 @@ from mvkpconv_tpu.ops.neighbors import ball_query, knn, radius_neighbors
 from mvkpconv_tpu.ops.gather import batch_index_select, group_points
 from mvkpconv_tpu.ops.sampling import farthest_point_sample, grid_subsample
 from mvkpconv_tpu.ops.interpolate import three_nn_interpolate
+from mvkpconv_tpu.ops.unproject import points_to_pixel_knn, unproject_depth
 from mvkpconv_tpu.ops import pyramid
 
 __all__ = [
@@ -35,5 +36,7 @@ __all__ = [
     "farthest_point_sample",
     "grid_subsample",
     "three_nn_interpolate",
+    "unproject_depth",
+    "points_to_pixel_knn",
     "pyramid",
 ]
