@@ -1,0 +1,135 @@
+"""Train/eval step factories: one jitted SPMD program per step.
+
+Everything the reference did across CPU workers + GPU per step — pyramid
+building (datasets/common.py:536-652), forward, loss, clipped SGD update,
+BN-stat update — is one XLA program here. Batches are dense (B, ...) arrays;
+with a mesh, the leading dim is sharded over the ``data`` axis and XLA
+inserts the gradient all-reduce (replicated params, sharded batch).
+
+Batch dict contract (produced by mvkpconv_tpu.data pipelines):
+  points   (B, N0, 3)   shadow-padded sphere/chunk points
+  mask     (B, N0)      validity
+  features (B, N0, C)   base 3D features (ones ⊕ z/rgb/xyz columns)
+  labels   (B, N0)      int32 in [0, C) or ignore_label
+  [fusion] images / image_xyz / knn_indices / depth / intrinsics / poses
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mvkpconv_tpu.ops.pyramid import build_pyramid
+from mvkpconv_tpu.training.losses import segmentation_cross_entropy
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def create_train_state(variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_apply_fn(model, cfg, kind: str) -> Callable:
+    """Uniform ``apply(variables, batch, train, mutable) -> (logits, vars)``
+    over the three model families."""
+    spec = cfg.pyramid_spec() if kind in ("kpfcnn", "mvkpconv") else None
+
+    def apply_fn(variables, batch, train: bool, mutable):
+        if kind == "kpfcnn":
+            pyr = build_pyramid(batch["points"], batch["mask"], spec)
+            out = model.apply(variables, batch["features"], pyr, train=train,
+                              mutable=mutable)
+        elif kind == "mvkpconv":
+            pyr = build_pyramid(batch["points"], batch["mask"], spec)
+            out = model.apply(variables, batch, pyr, train=train, mutable=mutable)
+        elif kind == "mvpnet" or kind == "pn2":
+            out = model.apply(variables, batch, train=train, mutable=mutable) \
+                if kind == "mvpnet" else model.apply(
+                    variables, batch["points"], batch.get("features"),
+                    train=train, mutable=mutable)
+        else:
+            raise ValueError(f"unknown model kind {kind!r}")
+        return out if mutable else (out, None)
+
+    return apply_fn
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    cfg,
+    loss_fn: Callable = segmentation_cross_entropy,
+    donate: bool = True,
+):
+    """Build the jitted training step (forward+backward+update)."""
+
+    def step(state: TrainState, batch) -> tuple:
+        def compute_loss(params):
+            (logits, updates) = apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                True,
+                ["batch_stats"],
+            )
+            loss = loss_fn(
+                logits,
+                batch["labels"],
+                batch.get("mask"),
+                class_weights=jnp.asarray(cfg.class_weights)
+                if cfg.class_weights is not None
+                else None,
+                ignore_label=cfg.ignore_label,
+            )
+            return loss, (logits, updates)
+
+        (loss, (logits, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, upd)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            batch_stats=updates["batch_stats"] if updates else state.batch_stats,
+            opt_state=opt_state,
+        )
+        valid = batch["labels"] != cfg.ignore_label
+        if "mask" in batch:
+            valid = valid & batch["mask"]
+        pred = jnp.argmax(logits, axis=-1)
+        acc = jnp.sum((pred == batch["labels"]) & valid) / jnp.maximum(
+            jnp.sum(valid), 1
+        )
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(apply_fn: Callable, cfg):
+    """Jitted eval step returning per-point probabilities (for the voting
+    tester and validation smoothing, tester.py:79-376)."""
+
+    def step(state: TrainState, batch):
+        logits, _ = apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            False,
+            False,
+        )
+        return jax.nn.softmax(logits, axis=-1)
+
+    return jax.jit(step)

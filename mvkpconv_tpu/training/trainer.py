@@ -1,0 +1,117 @@
+"""Iteration-based trainer.
+
+One harness replaces both of the reference's (SURVEY.md §7.6): the mvpnet
+iteration-based solver (mvpnet/train_2d.py:58-321) and the KPConv epoch
+trainer (utils/trainer.py:48-537). Semantics kept:
+  * periodic validation with best-metric checkpointing (train_2d.py:304-313);
+  * ``training.txt`` convergence log + val IoU log (trainer.py:216-225);
+  * graceful stop by deleting the ``running_PID.txt`` kill file
+    (trainer.py:133-165);
+  * checkpoint-gap snapshots + last/auto-resume (trainer.py:247-261).
+
+The trainer is model-agnostic: it consumes a jitted ``train_step`` from
+training.steps and an iterator of dense batches; with a mesh, batches are
+sharded over the data axis before each step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from mvkpconv_tpu.parallel import shard_batch
+from mvkpconv_tpu.training.checkpoint import Checkpointer
+from mvkpconv_tpu.training.logger import MetricLogger, TrainingLog, setup_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        train_step: Callable,
+        state,
+        output_dir: str,
+        cfg,
+        mesh=None,
+        eval_fn: Optional[Callable] = None,
+        log_period: int = 50,
+        val_period: int = 0,  # 0 = once per epoch
+        max_to_keep: int = 5,
+    ):
+        self.train_step = train_step
+        self.state = state
+        self.cfg = cfg
+        self.mesh = mesh
+        self.eval_fn = eval_fn
+        self.output_dir = Path(output_dir)
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = setup_logger(output_dir=str(self.output_dir))
+        self.meters = MetricLogger()
+        self.training_log = TrainingLog(self.output_dir)
+        self.checkpointer = Checkpointer(self.output_dir / "checkpoints", max_to_keep)
+        self.log_period = log_period
+        self.val_period = val_period or cfg.epoch_steps
+        self.best_metric = -np.inf
+        self.kill_file = self.output_dir / "running_PID.txt"
+        cfg.save(self.output_dir / "parameters.txt")
+
+    def maybe_resume(self):
+        restored = self.checkpointer.restore(jax.device_get(self.state))
+        if restored is not None:
+            self.state = jax.device_put(restored)
+            self.logger.info(
+                "resumed from step %d", int(np.asarray(restored.step))
+            )
+
+    def fit(self, batches: Iterable, max_steps: Optional[int] = None):
+        """Run the training loop over an (in)finite batch iterator."""
+        self.kill_file.write_text(str(os.getpid()))
+        max_steps = max_steps or self.cfg.max_epoch * self.cfg.epoch_steps
+        t_data = time.time()
+        for batch in batches:
+            step = int(np.asarray(self.state.step))
+            if step >= max_steps:
+                break
+            if not self.kill_file.exists():  # graceful stop (trainer.py:133-137)
+                self.logger.info("kill file removed — stopping gracefully")
+                break
+            data_time = time.time() - t_data
+            if self.mesh is not None:
+                batch = shard_batch(batch, self.mesh)
+            t0 = time.time()
+            self.state, stats = self.train_step(self.state, batch)
+            stats = {k: float(np.asarray(v)) for k, v in stats.items()}
+            step_time = time.time() - t0
+            self.meters.update(data=data_time, time=step_time, **stats)
+            step += 1
+            epoch = step // self.cfg.epoch_steps
+            if step % self.log_period == 0:
+                self.logger.info("step %d (epoch %d): %s", step, epoch, self.meters)
+            self.training_log.append(
+                epoch, step, stats.get("loss", 0.0), stats.get("offset_loss", 0.0),
+                stats.get("accuracy", 0.0),
+            )
+            if step % self.val_period == 0:
+                self._validate_and_checkpoint(step, epoch)
+            t_data = time.time()
+        # final snapshot
+        self._validate_and_checkpoint(int(np.asarray(self.state.step)), -1)
+        if self.kill_file.exists():
+            self.kill_file.unlink()
+        return self.state
+
+    def _validate_and_checkpoint(self, step: int, epoch: int):
+        metric = None
+        if self.eval_fn is not None:
+            metric = self.eval_fn(self.state)
+            self.logger.info("validation @ step %d: %s", step, metric)
+            if isinstance(metric, dict):
+                metric = metric.get("miou", metric.get("accuracy"))
+        is_best = metric is not None and metric > self.best_metric
+        if is_best:
+            self.best_metric = metric
+        self.checkpointer.save(jax.device_get(self.state), step, is_best=is_best)

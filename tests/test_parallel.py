@@ -1,0 +1,78 @@
+"""Data-parallel sharding tests over the 8-device virtual CPU mesh."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvkpconv_tpu.data import SphereDataset, synthetic
+from mvkpconv_tpu.data.spheres import device_batch
+from mvkpconv_tpu.models import KPFCNN
+from mvkpconv_tpu.ops.pyramid import build_pyramid
+from mvkpconv_tpu.parallel import batch_sharding, make_mesh, replicated, shard_batch
+from mvkpconv_tpu.training.config import KPConfig
+from mvkpconv_tpu.training.optim import make_optimizer
+from mvkpconv_tpu.training.steps import create_train_state, make_apply_fn, make_train_step
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == len(jax.devices()) == 8
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    assert mesh2.axis_names == ("data", "model")
+
+
+def test_sharded_train_step_matches_single_device():
+    cfg = KPConfig(
+        num_points=(256, 64),
+        conv_neighbors=(10, 10),
+        pool_neighbors=(10,),
+        architecture=("simple", "resnetb_strided", "nearest_upsample", "unary"),
+        in_radius=1.0,
+        first_subsampling_dl=0.1,
+        in_features_dim=2,
+        first_features_dim=16,
+        num_classes=20,
+        batch_num=8,
+    )
+    scenes = [synthetic.make_scene(seed=0, num_points=8000)]
+    ds = SphereDataset(scenes, cfg, training=False, seed=0)
+    batch = device_batch(ds.sample_batch(8))
+
+    model = KPFCNN(cfg)
+    pyr = build_pyramid(
+        jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]), cfg.pyramid_spec()
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["features"]), pyr)
+    tx = make_optimizer(cfg)
+    apply_fn = make_apply_fn(model, cfg, "kpfcnn")
+
+    # single-device run
+    step1 = make_train_step(apply_fn, tx, cfg, donate=False)
+    state1 = create_train_state(variables, tx)
+    state1, stats1 = step1(state1, batch)
+
+    # sharded run over the 8-device mesh
+    mesh = make_mesh()
+    state2 = jax.device_put(create_train_state(variables, tx), replicated(mesh))
+    sbatch = shard_batch(batch, mesh)
+    assert sbatch["points"].sharding.spec == batch_sharding(mesh).spec
+    step2 = make_train_step(apply_fn, tx, cfg, donate=False)
+    state2, stats2 = step2(state2, sbatch)
+
+    np.testing.assert_allclose(
+        float(stats1["loss"]), float(stats2["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state2.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_shard_batch_places_all_leaves():
+    mesh = make_mesh()
+    batch = {"a": np.zeros((8, 4), np.float32), "b": np.zeros((8,), np.int32)}
+    out = shard_batch(batch, mesh)
+    for leaf in out.values():
+        assert len(leaf.sharding.device_set) == 8

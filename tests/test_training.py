@@ -1,0 +1,154 @@
+"""End-to-end training harness tests on synthetic scenes."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mvkpconv_tpu.data import SphereDataset, synthetic
+from mvkpconv_tpu.data.spheres import device_batch
+from mvkpconv_tpu.models import KPFCNN
+from mvkpconv_tpu.training.checkpoint import Checkpointer
+from mvkpconv_tpu.training.config import KPConfig
+from mvkpconv_tpu.training.optim import make_optimizer
+from mvkpconv_tpu.training.steps import (
+    create_train_state,
+    make_apply_fn,
+    make_eval_step,
+    make_train_step,
+)
+from mvkpconv_tpu.training.trainer import Trainer
+
+
+def small_cfg(**kw):
+    base = dict(
+        num_points=(512, 128),
+        conv_neighbors=(12, 12),
+        pool_neighbors=(12,),
+        architecture=("simple", "resnetb_strided", "nearest_upsample", "unary"),
+        in_radius=1.0,
+        first_subsampling_dl=0.08,
+        in_features_dim=2,
+        first_features_dim=16,
+        num_classes=20,
+        batch_num=2,
+        epoch_steps=4,
+        learning_rate=1e-2,
+    )
+    base.update(kw)
+    return KPConfig(**base)
+
+
+@pytest.fixture(scope="module")
+def scenes():
+    return [synthetic.make_scene(seed=s, num_points=15000) for s in range(2)]
+
+
+def _setup(cfg, scenes, seed=0):
+    ds = SphereDataset(scenes, cfg, training=True, seed=seed)
+    model = KPFCNN(cfg)
+    apply_fn = make_apply_fn(model, cfg, "kpfcnn")
+    batch = device_batch(ds.sample_batch())
+    tx = make_optimizer(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch["features"]),
+        __import__("mvkpconv_tpu.ops.pyramid", fromlist=["build_pyramid"]).build_pyramid(
+            jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]), cfg.pyramid_spec()
+        ),
+    )
+    state = create_train_state(variables, tx)
+    step = make_train_step(apply_fn, tx, cfg)
+    return ds, state, step, apply_fn, tx
+
+
+def test_train_step_reduces_loss(scenes):
+    cfg = small_cfg()
+    ds, state, step, _, _ = _setup(cfg, scenes)
+    losses = []
+    batch = device_batch(ds.sample_batch())  # overfit one batch
+    for _ in range(12):
+        state, stats = step(state, batch)
+        losses.append(float(stats["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+    assert int(state.step) == 12
+
+
+def test_eval_step_probabilities(scenes):
+    cfg = small_cfg()
+    ds, state, step, apply_fn, _ = _setup(cfg, scenes)
+    ev = make_eval_step(apply_fn, cfg)
+    probs = ev(state, device_batch(ds.sample_batch()))
+    p = np.asarray(probs)
+    assert p.shape == (2, 512, 20)
+    np.testing.assert_allclose(p.sum(-1), 1.0, atol=1e-4)
+
+
+def test_checkpointer_roundtrip_and_gc(tmp_path, scenes):
+    cfg = small_cfg()
+    ds, state, step, _, _ = _setup(cfg, scenes)
+    ck = Checkpointer(tmp_path, max_to_keep=2)
+    state, _ = step(state, device_batch(ds.sample_batch()))
+    for s in range(4):
+        ck.save(jax.device_get(state), s, is_best=(s == 1))
+    assert len(list(tmp_path.glob("ckpt_*.msgpack"))) == 2  # GC keeps 2
+    restored = ck.restore(jax.device_get(state))
+    np.testing.assert_array_equal(
+        np.asarray(restored.step), np.asarray(jax.device_get(state).step)
+    )
+    leaves_a = jax.tree_util.tree_leaves(restored.params)
+    leaves_b = jax.tree_util.tree_leaves(jax.device_get(state).params)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(a, b)
+    assert ck.restore_best(jax.device_get(state)) is not None
+
+
+def test_trainer_loop_and_resume(tmp_path, scenes):
+    cfg = small_cfg(max_epoch=1, epoch_steps=3)
+    ds, state, step, apply_fn, tx = _setup(cfg, scenes)
+    batches = (device_batch(b) for b in ds.batches())
+    trainer = Trainer(step, state, tmp_path / "run", cfg, log_period=1)
+    final = trainer.fit(batches, max_steps=3)
+    assert int(np.asarray(final.step)) == 3
+    assert (tmp_path / "run" / "training.txt").exists()
+    assert (tmp_path / "run" / "parameters.txt").exists()
+    lines = (tmp_path / "run" / "training.txt").read_text().splitlines()
+    assert len(lines) == 4  # header + 3 steps
+    # resume: fresh trainer picks up the checkpoint
+    _, state2, step2, _, _ = _setup(cfg, scenes)
+    trainer2 = Trainer(step2, state2, tmp_path / "run", cfg, log_period=1)
+    trainer2.maybe_resume()
+    assert int(np.asarray(trainer2.state.step)) == 3
+
+
+def test_frozen_params_not_updated(scenes):
+    cfg = small_cfg()
+    ds, _, _, apply_fn, _ = _setup(cfg, scenes)
+    # freeze the head: its params must stay bit-identical through a step
+    from mvkpconv_tpu.models import KPFCNN
+    from mvkpconv_tpu.ops.pyramid import build_pyramid
+
+    model = KPFCNN(cfg)
+    batch = device_batch(ds.sample_batch())
+    pyr = build_pyramid(
+        jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]), cfg.pyramid_spec()
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["features"]), pyr)
+    tx = make_optimizer(cfg, frozen_prefixes=("head",))
+    state = create_train_state(variables, tx)
+    step = make_train_step(make_apply_fn(model, cfg, "kpfcnn"), tx, cfg)
+    before = jax.device_get(state.params["head"])
+    before_enc = jax.device_get(state.params["encoder"])
+    state, _ = step(state, batch)
+    after = jax.device_get(state.params["head"])
+    for a, b in zip(jax.tree_util.tree_leaves(before), jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(a, b)
+    # non-frozen changed
+    assert not all(
+        np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(state.params["encoder"])),
+            jax.tree_util.tree_leaves(before_enc),
+        )
+    )
