@@ -1,0 +1,93 @@
+"""Benchmark: MV-KPConv sphere inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: points/sec through the full flagship inference step — on-device
+pyramid build (grid subsample + radius neighbors, replacing the reference's
+CPU dataloader C++ ops), UNet-ResNet34 over num_views RGB-D frames,
+on-device 2D→3D lifting, and the 5-level deeper KPConv encoder/decoder —
+i.e. everything the reference does per test batch (dataloader worker + GPU
+forward, test_models.py path).
+
+Baseline: the reference publishes no throughput (BASELINE.md). We use an
+estimated 1.0e5 points/sec for its Quadro P2000 pipeline: KPConv-PyTorch
+forward ~0.2-0.4 s per ~35k-point batch on this class of GPU with the CPU
+dataloader at ~10 workers feeding it (SURVEY.md §3.1 hot loops). Recorded in
+BASELINE.json's north star as the 10× target denominator.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mvkpconv_tpu.models import MVKPConv
+    from mvkpconv_tpu.ops.pyramid import build_pyramid
+    from mvkpconv_tpu.training.config import KPConfig
+    from mvkpconv_tpu.training.init import jit_init
+    from __graft_entry__ import _make_batch
+
+    cfg = KPConfig(
+        fusion="early",
+        in_features_dim=66,
+        num_points=(16384, 4096, 1024, 256, 64),
+        conv_neighbors=(30, 30, 30, 30, 30),
+        pool_neighbors=(30, 30, 30, 30),
+        num_views=5,
+        image_height=120,
+        image_width=160,
+        batch_num=4,
+        compute_dtype=jnp.bfloat16,
+    )
+    b = cfg.batch_num
+    model = MVKPConv(cfg)
+    spec = cfg.pyramid_spec()
+    rng = np.random.RandomState(0)
+    batch = {k: jnp.asarray(v) for k, v in _make_batch(cfg, b, rng).items()}
+
+    pyr0 = jax.jit(lambda p, m: build_pyramid(p, m, spec))(
+        batch["points"], batch["mask"]
+    )
+    variables = jit_init(model, batch, pyr0)
+
+    @jax.jit
+    def infer(variables, batch):
+        pyr = build_pyramid(batch["points"], batch["mask"], spec)
+        logits = model.apply(variables, batch, pyr, train=False)
+        # reduce to a scalar so one host read fully synchronizes the step
+        # (block_until_ready is unreliable through the remote TPU relay)
+        return logits, jnp.sum(logits)
+
+    # warmup / compile
+    _, s = infer(variables, batch)
+    float(s)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        _, s = infer(variables, batch)
+        float(s)  # full sync every iteration — conservative, honest
+    dt = (time.perf_counter() - t0) / iters
+
+    points_per_batch = b * cfg.num_points[0]
+    value = points_per_batch / dt
+    baseline = 1.0e5  # estimated reference points/sec (see module docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "mvkpconv_early_fusion_inference_points_per_sec",
+                "value": round(value, 1),
+                "unit": "points/sec/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -113,7 +113,10 @@ class MVKPConv(nn.Module):
         if "knn_indices" in batch:
             knn_idx = batch["knn_indices"]
         else:
-            knn_idx = points_to_pixel_knn(points, image_xyz, self.cfg.pixel_knn)
+            knn_idx = points_to_pixel_knn(
+                points, image_xyz, self.cfg.pixel_knn,
+                method=self.cfg.neighbor_method,
+            )
 
         train_2d = train and not self.freeze_2d
         preds = self.net_2d(images.reshape(b * v, h, w, 3), train=train_2d)

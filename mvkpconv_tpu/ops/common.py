@@ -81,7 +81,7 @@ def chunked_over_queries(fn, query: jnp.ndarray, chunk: int):
     return jax.tree.map(lambda x: x.reshape((nq,) + x.shape[2:]), out)
 
 
-def pick_chunk(nq: int, ns: int, budget_elems: int = 1 << 24) -> int:
+def pick_chunk(nq: int, ns: int, budget_elems: int = 1 << 25) -> int:
     """Choose a query-chunk size keeping chunk×Ns ≤ budget (fp32 elems)."""
     chunk = max(1, budget_elems // max(ns, 1))
     chunk = min(chunk, nq)

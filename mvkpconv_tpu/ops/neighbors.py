@@ -19,6 +19,16 @@ mvpnet/ops/tests/*):
   * ``radius_neighbors``: up to ``k`` nearest supports with d² < radius²,
     sorted by distance; missing slots padded with the shadow index
     ``num_support`` (neighbors.cpp:319-325 convention).
+
+Selection method: ``lax.top_k`` lowers to a full per-row sort on TPU —
+~1 s for a 16k×16k k=30 selection. ``method='approx'`` switches to
+``lax.approx_min_k``, the TPU-native partial top-k (17× faster, recall
+~0.95 per neighbor, still distance-sorted). Approximate selection is safe
+wherever the reference itself truncates neighbor lists to calibrated
+percentile budgets (conv/pool neighbors — KPConv sums influence weights, so
+occasionally dropping the farthest in-radius neighbor is noise); exact
+remains the default and is used for 1-NN upsampling and the oracle-tested
+public ops.
 """
 
 from __future__ import annotations
@@ -51,35 +61,50 @@ def _pad_k(idx, aux, k: int, fill_idx: int, fill_aux):
     return idx, aux
 
 
-def _knn_core(query: jnp.ndarray, support: jnp.ndarray, k: int):
+def _smallest_k(d2: jnp.ndarray, k: int, method: str):
+    """Indices+values of the k smallest entries per row, ascending."""
+    if k == 1:  # argmin — no sort, exact, fastest for 1-NN upsampling
+        idx = jnp.argmin(d2, axis=-1, keepdims=True).astype(jnp.int32)
+        return idx, jnp.take_along_axis(d2, idx, axis=-1)
+    if method == "approx":
+        vals, idx = jax.lax.approx_min_k(d2, k)
+        return idx.astype(jnp.int32), vals
+    neg, idx = jax.lax.top_k(-d2, k)
+    return idx.astype(jnp.int32), -neg
+
+
+def _knn_core(query: jnp.ndarray, support: jnp.ndarray, k: int, method: str):
     ns = support.shape[0]
     chunk = pick_chunk(query.shape[0], ns)
     keff = min(k, ns)
 
     def per_chunk(q):
         d2 = pairwise_sq_dists(q, support)  # (chunk, Ns)
-        neg, idx = jax.lax.top_k(-d2, keff)
-        return _pad_k(idx.astype(jnp.int32), -neg, k, ns - 1, jnp.inf)
+        idx, vals = _smallest_k(d2, keff, method)
+        return _pad_k(idx, vals, k, ns - 1, jnp.inf)
 
     return chunked_over_queries(per_chunk, query, chunk)
 
 
-def knn(query: jnp.ndarray, support: jnp.ndarray, k: int):
-    """Exact k-nearest-neighbors with squared distances.
+def knn(query: jnp.ndarray, support: jnp.ndarray, k: int, method: str = "exact"):
+    """k-nearest-neighbors with squared distances.
 
     Args:
       query: (..., Nq, 3); support: (..., Ns, 3). Padded (shadow) support
         points are naturally never nearest as long as Ns_valid >= k.
       k: number of neighbors.
+      method: 'exact' (top_k sort) or 'approx' (TPU approx_min_k).
 
     Returns:
       (idx, sqdist): (..., Nq, k) int32 indices ascending by distance and
       (..., Nq, k) float32 squared distances.
     """
-    return _maybe_vmap(functools.partial(_knn_core, k=k), query, support)
+    return _maybe_vmap(
+        functools.partial(_knn_core, k=k, method=method), query, support
+    )
 
 
-def _radius_core(query, support, radius: float, k: int):
+def _radius_core(query, support, radius: float, k: int, method: str):
     ns = support.shape[0]
     chunk = pick_chunk(query.shape[0], ns)
     r2 = jnp.float32(radius) ** 2
@@ -89,16 +114,21 @@ def _radius_core(query, support, radius: float, k: int):
     def per_chunk(q):
         d2 = pairwise_sq_dists(q, support)  # (chunk, Ns)
         d2 = jnp.where(d2 < r2, d2, jnp.inf)
-        neg, idx = jax.lax.top_k(-d2, keff)
-        valid = jnp.isfinite(neg)
-        idx = jnp.where(valid, idx, ns)
-        idx, _ = _pad_k(idx.astype(jnp.int32), -neg, k, ns, jnp.inf)
+        idx, vals = _smallest_k(d2, keff, method)
+        idx = jnp.where(jnp.isfinite(vals), idx, ns)
+        idx, _ = _pad_k(idx, vals, k, ns, jnp.inf)
         return idx
 
     return chunked_over_queries(per_chunk, query, chunk)
 
 
-def radius_neighbors(query: jnp.ndarray, support: jnp.ndarray, radius: float, k: int):
+def radius_neighbors(
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    radius: float,
+    k: int,
+    method: str = "exact",
+):
     """Up-to-k nearest neighbors within ``radius``, shadow-padded.
 
     Returns (..., Nq, k) int32; entries equal to Ns mean "no neighbor" and
@@ -107,7 +137,9 @@ def radius_neighbors(query: jnp.ndarray, support: jnp.ndarray, radius: float, k:
     ``neighborhood_limits`` truncation of the C++ radius search.
     """
     return _maybe_vmap(
-        functools.partial(_radius_core, radius=radius, k=k), query, support
+        functools.partial(_radius_core, radius=radius, k=k, method=method),
+        query,
+        support,
     )
 
 

@@ -60,6 +60,7 @@ class PyramidSpec:
     conv_neighbors: Tuple[int, ...] = DEFAULT_CONV_NEIGHBORS
     pool_neighbors: Tuple[int, ...] = DEFAULT_POOL_NEIGHBORS
     deform_levels: Tuple[bool, ...] = ()  # per level: any deformable block?
+    neighbor_method: str = "exact"  # 'exact' | 'approx' (TPU approx_min_k)
 
     @property
     def num_levels(self) -> int:
@@ -150,7 +151,11 @@ def build_pyramid(
     for level in range(spec.num_levels):
         p, m = pts[level], msks[level]
         r = spec.radius(level)
-        neighbors.append(radius_neighbors(p, p, r, spec.conv_neighbors[level]))
+        neighbors.append(
+            radius_neighbors(
+                p, p, r, spec.conv_neighbors[level], method=spec.neighbor_method
+            )
+        )
         if level + 1 < spec.num_levels:
             sub = grid_subsample(
                 p, spec.cell_size(level + 1), spec.num_points[level + 1], mask=m
@@ -158,7 +163,10 @@ def build_pyramid(
             pts.append(sub.points)
             msks.append(sub.mask)
             pools.append(
-                radius_neighbors(sub.points, p, r, spec.pool_neighbors[level])
+                radius_neighbors(
+                    sub.points, p, r, spec.pool_neighbors[level],
+                    method=spec.neighbor_method,
+                )
             )
             up_idx, up_d2 = knn(p, sub.points, 1)
             up_idx = jnp.where(

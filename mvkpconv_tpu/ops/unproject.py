@@ -59,7 +59,7 @@ def unproject_depth(
 
 
 def points_to_pixel_knn(
-    points: jnp.ndarray, image_xyz: jnp.ndarray, k: int = 3
+    points: jnp.ndarray, image_xyz: jnp.ndarray, k: int = 3, method: str = "exact"
 ) -> jnp.ndarray:
     """3-NN indices from 3D points into the flattened multi-view pixel cloud.
 
@@ -74,5 +74,5 @@ def points_to_pixel_knn(
     """
     b = image_xyz.shape[0]
     flat = image_xyz.reshape(b, -1, 3)
-    idx, _ = knn(points, flat, k)
+    idx, _ = knn(points, flat, k, method=method)
     return idx

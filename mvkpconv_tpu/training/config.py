@@ -110,6 +110,9 @@ class KPConfig:
     num_points: Tuple[int, ...] = (16384, 4096, 1024, 256, 128)
     conv_neighbors: Tuple[int, ...] = (34, 34, 34, 34, 34)
     pool_neighbors: Tuple[int, ...] = (34, 34, 34, 34)
+    # 'approx' = TPU-native approx_min_k neighbor selection (fast; safe where
+    # the reference already truncates neighbor lists); 'exact' = full top-k.
+    neighbor_method: str = "approx"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 
@@ -142,6 +145,7 @@ class KPConfig:
             conv_neighbors=tuple(self.conv_neighbors[:levels]),
             pool_neighbors=tuple(self.pool_neighbors[: levels - 1]),
             deform_levels=tuple(deform),
+            neighbor_method=self.neighbor_method,
         )
 
     def replace(self, **kwargs) -> "KPConfig":
