@@ -1,0 +1,114 @@
+"""PLY IO + ScanNet preprocessing tests (round trips on fabricated data)."""
+
+import pickle
+import struct
+import zlib
+
+import numpy as np
+
+from mvkpconv_tpu.data import scannet_io
+from mvkpconv_tpu.utils.ply import read_ply, write_ply
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    pts = rng.rand(100, 3).astype(np.float32)
+    cols = (rng.rand(100, 3) * 255).astype(np.uint8)
+    labels = rng.randint(0, 40, 100).astype(np.int32)
+    p = tmp_path / "cloud.ply"
+    write_ply(p, [pts, cols, labels], ["x", "y", "z", "red", "green", "blue", "label"])
+    data = read_ply(p)
+    np.testing.assert_allclose(np.stack([data["x"], data["y"], data["z"]], 1), pts)
+    np.testing.assert_array_equal(data["red"], cols[:, 0])
+    np.testing.assert_array_equal(data["label"], labels)
+
+
+def test_ply_ascii_read(tmp_path):
+    p = tmp_path / "ascii.ply"
+    p.write_text(
+        "ply\nformat ascii 1.0\nelement vertex 2\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "end_header\n0 1 2\n3 4 5\n"
+    )
+    data = read_ply(p)
+    np.testing.assert_allclose(data["x"], [0, 3])
+    np.testing.assert_allclose(data["z"], [2, 5])
+
+
+def test_label_mapping_and_scene_loading(tmp_path, rng):
+    # fabricate a tiny scan: mesh ply + labels ply (nyu40 ids)
+    scan = tmp_path / "scene0000_00"
+    scan.mkdir()
+    pts = rng.rand(50, 3).astype(np.float32)
+    cols = (rng.rand(50, 3) * 255).astype(np.uint8)
+    write_ply(scan / "scene0000_00_vh_clean_2.ply", [pts, cols],
+              ["x", "y", "z", "red", "green", "blue"])
+    nyu = rng.choice([1, 2, 5, 39, 40, 0], 50).astype(np.uint16)  # 40/0 unmapped
+    write_ply(scan / "scene0000_00_vh_clean_2.labels.ply", [pts, nyu],
+              ["x", "y", "z", "label"])
+    scene = scannet_io.load_scene(scan, "scene0000_00")
+    assert scene["points"].shape == (50, 3)
+    assert scene["colors"].max() <= 1.0
+    lut = scannet_io.nyu40_to_train_ids()
+    assert lut[1] == 0 and lut[2] == 1 and lut[39] == 19
+    assert lut[40] == -1 and lut[0] == -1
+    np.testing.assert_array_equal(scene["labels"], lut[nyu.astype(np.int64)])
+
+    out = scannet_io.preprocess_split(tmp_path, ["scene0000_00"], tmp_path / "split.pkl")
+    loaded = scannet_io.load_split(tmp_path / "split.pkl")
+    assert loaded[0]["scan_id"] == "scene0000_00"
+    np.testing.assert_array_equal(loaded[0]["labels"], out[0]["labels"])
+
+
+def test_label_mapping_tsv(tmp_path):
+    tsv = tmp_path / "labels.tsv"
+    tsv.write_text(
+        "id\traw_category\tcategory\tnyu40id\n"
+        "1\twall\twall\t1\n"
+        "22\tceiling lamp\tlamp\t35\n"
+        "bad\tx\tx\ty\n"
+    )
+    m = scannet_io.parse_label_mapping_tsv(tsv)
+    assert m == {1: 1, 22: 35}
+
+
+def test_compute_label_weights():
+    scenes = [{"labels": np.array([0, 0, 0, 1, -1])}]
+    w = scannet_io.compute_label_weights(scenes, num_classes=3)
+    assert w.shape == (3,)
+    assert w[1] > w[0]  # rarer class weighs more
+    assert w[2] >= w[1]  # absent class gets max weight
+
+
+def test_sens_reader_roundtrip(tmp_path, rng):
+    """Fabricate a minimal v4 .sens stream and decode it back."""
+    depth = (rng.rand(8, 10) * 3000).astype("<u2")
+    pose = np.eye(4, dtype="<f4")
+    color_bytes = b"\xff\xd8fakejpeg"
+    buf = b""
+    buf += struct.pack("<I", 4)
+    name = b"StructureSensor"
+    buf += struct.pack("<Q", len(name)) + name
+    for _ in range(4):
+        buf += np.eye(4, dtype="<f4").tobytes()
+    buf += struct.pack("<i", 2)  # jpeg color
+    buf += struct.pack("<i", 1)  # zlib_ushort depth
+    buf += struct.pack("<IIII", 320, 240, 10, 8)
+    buf += struct.pack("<f", 1000.0)
+    buf += struct.pack("<Q", 1)  # one frame
+    comp = zlib.compress(depth.tobytes())
+    buf += pose.tobytes()
+    buf += struct.pack("<QQ", 0, 0)  # timestamps
+    buf += struct.pack("<QQ", len(color_bytes), len(comp))
+    buf += color_bytes + comp
+    p = tmp_path / "scan.sens"
+    p.write_bytes(buf)
+
+    r = scannet_io.SensReader(p)
+    assert r.num_frames == 1 and r.depth_shift == 1000.0
+    assert r.color_compression == "jpeg" and r.depth_compression == "zlib_ushort"
+    frames = list(r.frames())
+    r.close()
+    got_pose, got_color, got_depth = frames[0]
+    np.testing.assert_array_equal(got_pose, pose)
+    assert got_color == color_bytes
+    np.testing.assert_allclose(got_depth, depth.astype(np.float32) / 1000.0)
