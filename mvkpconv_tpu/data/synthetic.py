@@ -132,10 +132,12 @@ def render_views(
     """
     rng = np.random.RandomState(seed + 1)
     pts, cols = scene["points"], scene["colors"]
+    labs = scene.get("labels")
     center = pts.mean(0)
     K = make_intrinsics(h, w, fov_deg)
     rgb = np.zeros((num_views, h, w, 3), np.float32)
     depth = np.zeros((num_views, h, w), np.float32)
+    label = np.full((num_views, h, w), -1, np.int32)
     poses = np.zeros((num_views, 4, 4), np.float32)
     for v in range(num_views):
         ang = 2 * np.pi * v / num_views + rng.uniform(-0.3, 0.3)
@@ -159,9 +161,13 @@ def render_views(
         cbuf = rgb[v].reshape(-1, 3)
         dbuf[flat[order]] = zo[order]
         cbuf[flat[order]] = cols[ok][order]
+        if labs is not None:
+            lbuf = label[v].reshape(-1)
+            lbuf[flat[order]] = labs[ok][order]
     return {
         "rgb": rgb,
         "depth": depth,
+        "label": label,
         "poses": poses,
         "intrinsics": np.tile(K[None], (num_views, 1, 1)),
     }

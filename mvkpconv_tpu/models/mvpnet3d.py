@@ -23,7 +23,7 @@ from flax import linen as nn
 from mvkpconv_tpu.models.feature_aggregation import FeatureAggregation
 from mvkpconv_tpu.models.pn2 import PN2SSG
 from mvkpconv_tpu.models.unet2d import UNetResNet34
-from mvkpconv_tpu.ops import group_points
+from mvkpconv_tpu.ops import group_points, points_to_pixel_knn, unproject_depth
 
 
 class MVPNet3D(nn.Module):
@@ -61,8 +61,18 @@ class MVPNet3D(nn.Module):
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         points = batch["points"]  # (B, N, 3)
+        if "image_xyz" in batch:
+            image_xyz = batch["image_xyz"]
+        else:  # on-device unprojection from raw RGB-D geometry
+            image_xyz, _ = unproject_depth(
+                batch["depth"], batch["intrinsics"], batch["poses"]
+            )
+        if "knn_indices" in batch:
+            knn_indices = batch["knn_indices"]
+        else:
+            knn_indices = points_to_pixel_knn(points, image_xyz, 3, method="approx")
         feature_2d, pixel_xyz = self.lift_2d_features(
-            batch["images"], batch["image_xyz"], batch["knn_indices"], train
+            batch["images"], image_xyz, knn_indices, train
         )
         feature_2d3d = self.feat_aggreg(pixel_xyz, points, feature_2d, train)
         return self.net_3d(points, feature_2d3d, train)

@@ -1,0 +1,85 @@
+"""Train the 2D UNet-ResNet34 semantic segmentation network.
+
+Replaces mvpnet/train_2d.py (iteration-based 2D trainer). Produces the
+frozen 2D checkpoint consumed by the fusion/MVPNet models.
+
+Example:
+  python -m mvkpconv_tpu.tools.train_2d --data synthetic:4 --steps 500
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    from mvkpconv_tpu.tools.common import add_common_args, load_scenes, resolve_config
+
+    add_common_args(ap)
+    ap.add_argument("--lr", type=float, default=5e-3)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvkpconv_tpu.data.chunks import Frames2DDataset
+    from mvkpconv_tpu.models import UNetResNet34
+    from mvkpconv_tpu.training.config import KPConfig
+    from mvkpconv_tpu.training.init import jit_init
+    from mvkpconv_tpu.training.metrics import confusion_matrix, iou_from_confusion
+    from mvkpconv_tpu.training.optim import make_optimizer
+    from mvkpconv_tpu.training.steps import (
+        create_train_state,
+        make_apply_fn,
+        make_eval_step,
+        make_train_step,
+    )
+    from mvkpconv_tpu.training.trainer import Trainer
+
+    cfg = resolve_config(
+        args,
+        KPConfig(learning_rate=args.lr, momentum=0.9, batch_num=8, epoch_steps=100),
+    )
+    scenes = load_scenes(args.data, True, cfg.num_views,
+                         (cfg.image_height, cfg.image_width))
+    val_scenes = load_scenes(args.val_data or "synthetic:2", True, cfg.num_views,
+                             (cfg.image_height, cfg.image_width), seed_offset=100)
+    ds = Frames2DDataset(scenes, training=True, seed=args.seed)
+    val_ds = Frames2DDataset(val_scenes, training=False)
+
+    model = UNetResNet34(cfg.num_classes)
+    b0 = ds.sample_batch(cfg.batch_num)
+    variables = jit_init(model, jnp.asarray(b0["images"]))
+    tx = make_optimizer(cfg)
+    state = create_train_state(variables, tx)
+    apply_fn = make_apply_fn(model, cfg, "unet2d")
+    step = make_train_step(apply_fn, tx, cfg)
+    eval_step = make_eval_step(apply_fn, cfg)
+
+    def eval_fn(st):
+        conf = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
+        for _ in range(4):
+            vb = val_ds.sample_batch(cfg.batch_num)
+            probs = np.asarray(eval_step(st, {k: jnp.asarray(v) for k, v in vb.items()}))
+            conf += np.asarray(
+                confusion_matrix(
+                    jnp.argmax(jnp.asarray(probs), -1), jnp.asarray(vb["labels"]),
+                    cfg.num_classes, ignore_label=cfg.ignore_label,
+                )
+            )
+        iou = iou_from_confusion(conf)
+        return {"miou": float(iou.mean())}
+
+    trainer = Trainer(step, state, args.output, cfg, eval_fn=eval_fn)
+    trainer.maybe_resume()
+    trainer.fit(
+        ({k: jnp.asarray(v) for k, v in b.items()} for b in ds.batches(cfg.batch_num)),
+        max_steps=args.steps,
+    )
+
+
+if __name__ == "__main__":
+    main()

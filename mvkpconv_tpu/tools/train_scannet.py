@@ -1,0 +1,109 @@
+"""Train KPConv-family segmentation: baseline or MV-KPConv fusion.
+
+One CLI replaces the reference's four entry scripts
+(KPConv-PyTorch/train_ScanNet_baseline.py, train_ScanNet_sphere.py,
+..._middle_fusion.py, ..._late_fusion.py) — the variant is ``--fusion``.
+
+Examples:
+  python -m mvkpconv_tpu.tools.train_scannet --fusion none --data synthetic --steps 200
+  python -m mvkpconv_tpu.tools.train_scannet --fusion early --views --data synthetic:6
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    from mvkpconv_tpu.tools.common import add_common_args, load_scenes, resolve_config
+
+    add_common_args(ap)
+    ap.add_argument("--fusion", default="none",
+                    choices=["none", "early", "middle", "late"])
+    ap.add_argument("--in-features-dim", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvkpconv_tpu.data import SphereDataset
+    from mvkpconv_tpu.data.spheres import device_batch
+    from mvkpconv_tpu.eval.voting import validation_sweep
+    from mvkpconv_tpu.models import KPFCNN, MVKPConv
+    from mvkpconv_tpu.ops.pyramid import build_pyramid
+    from mvkpconv_tpu.training.config import KPConfig
+    from mvkpconv_tpu.training.init import jit_init
+    from mvkpconv_tpu.training.optim import make_optimizer
+    from mvkpconv_tpu.training.steps import (
+        create_train_state,
+        make_apply_fn,
+        make_eval_step,
+        make_train_step,
+    )
+    from mvkpconv_tpu.training.trainer import Trainer
+
+    fusion = args.fusion
+    in_dim = args.in_features_dim or (66 if fusion != "none" else 5)
+    base = KPConfig(
+        fusion=fusion,
+        in_features_dim=in_dim,
+        num_points=(16384, 4096, 1024, 256, 64),
+    )
+    cfg = resolve_config(args, base)
+    # CLI flags override the config file's fusion choice
+    cfg = cfg.replace(fusion=fusion)
+    if args.in_features_dim:
+        cfg = cfg.replace(in_features_dim=args.in_features_dim)
+    elif cfg.base_feature_dim not in (1, 2, 4, 5, 7):
+        cfg = cfg.replace(in_features_dim=in_dim)
+    cfg.validate()
+    with_views = args.views or fusion != "none"
+
+    scenes = load_scenes(args.data, with_views, cfg.num_views,
+                         (cfg.image_height, cfg.image_width))
+    val_spec = args.val_data or "synthetic:2"
+    val_scenes = load_scenes(val_spec, with_views, cfg.num_views,
+                             (cfg.image_height, cfg.image_width), seed_offset=100)
+
+    ds = SphereDataset(scenes, cfg, training=True, seed=args.seed)
+    val_ds = SphereDataset(val_scenes, cfg, training=False, seed=args.seed + 1)
+
+    kind = "kpfcnn" if fusion == "none" else "mvkpconv"
+    model = KPFCNN(cfg) if fusion == "none" else MVKPConv(cfg)
+    b0 = device_batch(ds.sample_batch())
+    pyr0 = jax.jit(lambda p, m: build_pyramid(p, m, cfg.pyramid_spec()))(
+        jnp.asarray(b0["points"]), jnp.asarray(b0["mask"])
+    )
+    if kind == "kpfcnn":
+        variables = jit_init(model, jnp.asarray(b0["features"]), pyr0)
+    else:
+        variables = jit_init(model, {k: jnp.asarray(v) for k, v in b0.items()}, pyr0)
+
+    frozen = ("net_2d",) if fusion != "none" else ()
+    tx = make_optimizer(cfg, frozen_prefixes=frozen)
+    state = create_train_state(variables, tx)
+    apply_fn = make_apply_fn(model, cfg, kind)
+    step = make_train_step(apply_fn, tx, cfg)
+    eval_step = make_eval_step(apply_fn, cfg)
+
+    def eval_fn(st):
+        return validation_sweep(
+            val_ds,
+            lambda batch: np.asarray(
+                eval_step(st, {k: jnp.asarray(v) for k, v in batch.items()})
+            ),
+            cfg.num_classes,
+            num_batches=max(cfg.validation_size // cfg.batch_num, 1),
+            ignore_label=cfg.ignore_label,
+        )
+
+    trainer = Trainer(step, state, args.output, cfg, eval_fn=eval_fn)
+    trainer.maybe_resume()
+    trainer.fit((device_batch(b) for b in ds.batches()), max_steps=args.steps)
+
+
+if __name__ == "__main__":
+    main()

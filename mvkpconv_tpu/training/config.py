@@ -151,6 +151,28 @@ class KPConfig:
     def replace(self, **kwargs) -> "KPConfig":
         return dataclasses.replace(self, **kwargs)
 
+    @property
+    def base_feature_dim(self) -> int:
+        """Width of the non-lifted 3D feature columns."""
+        return self.in_features_dim - (
+            self.feature_2d_dim if self.fusion != "none" else 0
+        )
+
+    def validate(self) -> "KPConfig":
+        """Fail fast on inconsistent fusion/feature settings."""
+        supported = (1, 2, 4, 5, 7)
+        if self.base_feature_dim not in supported:
+            raise ValueError(
+                f"in_features_dim={self.in_features_dim} with fusion="
+                f"{self.fusion!r} implies base feature dim "
+                f"{self.base_feature_dim}; supported base dims are "
+                f"{supported} (e.g. fusion='early' wants 64+base, "
+                f"fusion='none' wants base alone)"
+            )
+        if self.fusion not in ("none", "early", "middle", "late"):
+            raise ValueError(f"unknown fusion {self.fusion!r}")
+        return self
+
     # ----- parameters.txt-style round trip (utils/config.py:281-431) -----
     def save(self, path) -> None:
         lines = ["# mvkpconv_tpu parameters"]

@@ -48,19 +48,28 @@ def make_apply_fn(model, cfg, kind: str) -> Callable:
     over the three model families."""
     spec = cfg.pyramid_spec() if kind in ("kpfcnn", "mvkpconv") else None
 
-    def apply_fn(variables, batch, train: bool, mutable):
+    def apply_fn(variables, batch, train: bool, mutable, rngs=None):
+        kw = dict(train=train, mutable=mutable)
+        if rngs is not None and train:
+            kw["rngs"] = rngs
         if kind == "kpfcnn":
             pyr = build_pyramid(batch["points"], batch["mask"], spec)
-            out = model.apply(variables, batch["features"], pyr, train=train,
-                              mutable=mutable)
+            out = model.apply(variables, batch["features"], pyr, **kw)
         elif kind == "mvkpconv":
             pyr = build_pyramid(batch["points"], batch["mask"], spec)
-            out = model.apply(variables, batch, pyr, train=train, mutable=mutable)
-        elif kind == "mvpnet" or kind == "pn2":
-            out = model.apply(variables, batch, train=train, mutable=mutable) \
-                if kind == "mvpnet" else model.apply(
-                    variables, batch["points"], batch.get("features"),
-                    train=train, mutable=mutable)
+            out = model.apply(variables, batch, pyr, **kw)
+        elif kind == "mvpnet":
+            out = model.apply(variables, batch, **kw)
+        elif kind == "pn2":
+            out = model.apply(
+                variables, batch["points"], batch.get("features"), **kw
+            )
+        elif kind == "unet2d":
+            out = model.apply(variables, batch["images"], **kw)
+            if mutable:
+                out = (out[0]["seg_logit"], out[1])
+            else:
+                out = out["seg_logit"]
         else:
             raise ValueError(f"unknown model kind {kind!r}")
         return out if mutable else (out, None)
@@ -78,12 +87,15 @@ def make_train_step(
     """Build the jitted training step (forward+backward+update)."""
 
     def step(state: TrainState, batch) -> tuple:
+        rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)}
+
         def compute_loss(params):
             (logits, updates) = apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 True,
                 ["batch_stats"],
+                rngs=rngs,
             )
             loss = loss_fn(
                 logits,

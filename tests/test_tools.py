@@ -1,0 +1,109 @@
+"""CLI entry-point smoke tests (tiny configs, end-to-end train→test)."""
+
+import numpy as np
+import pytest
+
+from mvkpconv_tpu.training.config import KPConfig
+
+TINY = dict(
+    architecture=("simple", "resnetb_strided", "nearest_upsample", "unary"),
+    num_points=(256, 64),
+    conv_neighbors=(8, 8),
+    pool_neighbors=(8,),
+    first_features_dim=16,
+    first_subsampling_dl=0.1,
+    in_radius=1.0,
+    batch_num=2,
+    epoch_steps=2,
+    validation_size=2,
+    num_views=2,
+    image_height=24,
+    image_width=32,
+)
+
+
+def _write_cfg(tmp_path, **kw):
+    cfg = KPConfig(**{**TINY, **kw})
+    p = tmp_path / "params.txt"
+    cfg.save(p)
+    return str(p)
+
+
+def test_train_and_test_baseline_cli(tmp_path):
+    from mvkpconv_tpu.tools import test_models, train_scannet
+
+    cfgp = _write_cfg(tmp_path, in_features_dim=2)
+    out = str(tmp_path / "run")
+    train_scannet.main([
+        "--fusion", "none", "--data", "synthetic:1", "--val-data", "synthetic:1",
+        "--config", cfgp, "--output", out, "--steps", "2",
+    ])
+    assert (tmp_path / "run" / "training.txt").exists()
+    assert (tmp_path / "run" / "checkpoints" / "last_checkpoint").exists()
+    test_models.main([
+        "--run", out, "--data", "synthetic:1", "--votes", "0.5",
+    ])
+
+
+def test_train_fusion_cli(tmp_path):
+    from mvkpconv_tpu.tools import train_scannet
+
+    cfgp = _write_cfg(tmp_path, in_features_dim=66, fusion="early")
+    out = str(tmp_path / "fusion_run")
+    train_scannet.main([
+        "--fusion", "early", "--data", "synthetic:1", "--val-data", "synthetic:1",
+        "--config", cfgp, "--output", out, "--steps", "2",
+    ])
+    assert (tmp_path / "fusion_run" / "checkpoints" / "last_checkpoint").exists()
+
+
+def test_train_2d_cli(tmp_path):
+    from mvkpconv_tpu.tools import train_2d
+
+    cfgp = _write_cfg(tmp_path)
+    train_2d.main([
+        "--data", "synthetic:1", "--val-data", "synthetic:1", "--config", cfgp,
+        "--output", str(tmp_path / "run2d"), "--steps", "2",
+    ])
+    assert (tmp_path / "run2d" / "checkpoints" / "last_checkpoint").exists()
+
+
+def test_train_and_test_mvpnet_cli(tmp_path):
+    from mvkpconv_tpu.tools import test_mvpnet, train_mvpnet
+
+    cfgp = _write_cfg(tmp_path)
+    out = str(tmp_path / "mvp")
+    train_mvpnet.main([
+        "--data", "synthetic:1", "--val-data", "synthetic:1", "--config", cfgp,
+        "--output", out, "--steps", "2", "--num-points", "512", "--num-views", "2",
+    ])
+    assert (tmp_path / "mvp" / "checkpoints" / "last_checkpoint").exists()
+    test_mvpnet.main([
+        "--run", out, "--data", "synthetic:1", "--num-points", "512",
+        "--num-views", "2", "--stride", "2.0",
+    ])
+
+
+def test_preprocess_cli(tmp_path, rng):
+    from mvkpconv_tpu.tools import preprocess
+    from mvkpconv_tpu.utils.ply import write_ply
+
+    scan = tmp_path / "scene0001_00"
+    scan.mkdir()
+    pts = rng.rand(60, 3).astype(np.float32)
+    cols = (rng.rand(60, 3) * 255).astype(np.uint8)
+    write_ply(scan / "scene0001_00_vh_clean_2.ply", [pts, cols],
+              ["x", "y", "z", "red", "green", "blue"])
+    nyu = rng.choice([1, 2, 4], 60).astype(np.uint16)
+    write_ply(scan / "scene0001_00_vh_clean_2.labels.ply", [pts, nyu],
+              ["x", "y", "z", "label"])
+    split = tmp_path / "split.txt"
+    split.write_text("scene0001_00\n")
+    preprocess.main([
+        "--scans", str(tmp_path), "--split-file", str(split),
+        "--output", str(tmp_path / "out.pkl"),
+        "--weights-output", str(tmp_path / "w.txt"),
+    ])
+    assert (tmp_path / "out.pkl").exists()
+    w = np.loadtxt(tmp_path / "w.txt")
+    assert w.shape == (20,)
