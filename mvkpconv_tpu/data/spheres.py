@@ -31,7 +31,15 @@ from mvkpconv_tpu.ops.common import SHADOW_COORD
 
 def grid_subsample_np(points, colors, labels, cell: float, num_classes: int = 20):
     """Host-side voxel barycenter subsample (one-off per scene at load time,
-    mirroring load_subsampled_clouds' cached first-run subsample :880)."""
+    mirroring load_subsampled_clouds' cached first-run subsample :880).
+
+    Uses the native C++ implementation (native/host_ops.cpp) when available;
+    falls back to vectorized numpy."""
+    from mvkpconv_tpu.data.native import grid_subsample_native
+
+    native = grid_subsample_native(points, colors, labels, cell, num_classes)
+    if native is not None:
+        return native
     origin = np.floor(points.min(0) / cell)
     vox = (np.floor(points / cell) - origin).astype(np.int64)
     key = (vox[:, 0] << 40) + (vox[:, 1] << 20) + vox[:, 2]
