@@ -61,7 +61,8 @@ def kpconv_apply(
     aggregation: str = "sum",
     kp_offsets: Optional[jnp.ndarray] = None,
     compute_dtype: Any = jnp.float32,
-) -> jnp.ndarray:
+    return_deform_aux: bool = False,
+):
     """Kernel point convolution (blocks.py:237-374 forward, batched).
 
     Args:
@@ -91,6 +92,19 @@ def kpconv_apply(
         kp = kp + kp_offsets[:, :, None]
     diff = neighbors[..., None, :] - kp
     sq = jnp.sum(diff * diff, axis=-1)
+    deform_aux = None
+    if return_deform_aux:
+        # min distance of each (deformed) kernel point to a REAL neighbor,
+        # for the fitting regularizer (blocks.py:300-305); all-shadow rows
+        # contribute zero.
+        valid = (neighb_inds < s_pts.shape[1])[..., None]  # (B, Nq, K, 1)
+        sq_valid = jnp.where(valid, sq, jnp.inf)
+        min_d2 = jnp.min(sq_valid, axis=-2)  # (B, Nq, M)
+        min_d2 = jnp.where(jnp.isfinite(min_d2), min_d2, 0.0)
+        kp_abs = jnp.broadcast_to(
+            kp[..., 0, :, :], sq.shape[:2] + tuple(kernel_pts.shape)
+        )  # (B, Nq, M, 3) absolute (deformed) kernel positions
+        deform_aux = (min_d2, kp_abs)
 
     if influence == "constant":
         all_w = jnp.ones_like(sq)
@@ -123,7 +137,10 @@ def kpconv_apply(
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return out.astype(jnp.float32)
+    out = out.astype(jnp.float32)
+    if return_deform_aux:
+        return out, deform_aux
+    return out
 
 
 class MaskedBatchNorm(nn.Module):
@@ -238,9 +255,7 @@ class KPConvLayer(nn.Module):
             off_feat = self.offset_conv(q_pts, s_pts, neighb_inds, x) + self.offset_bias
             b, nq = off_feat.shape[:2]
             offsets = off_feat.reshape(b, nq, self.num_kernel_points, 3) * self.kp_extent
-            self.sow("intermediates", "deformed_offsets", offsets)
-            # distances used by the fitting regularizer (blocks.py:300-305)
-        return kpconv_apply(
+        out = kpconv_apply(
             q_pts,
             s_pts,
             neighb_inds,
@@ -252,7 +267,18 @@ class KPConvLayer(nn.Module):
             self.aggregation,
             kp_offsets=offsets,
             compute_dtype=self.compute_dtype,
+            return_deform_aux=self.deformable,
         )
+        if self.deformable:
+            out, (min_d2, deformed_kp) = out
+            # consumed by losses.p2p_fitting_regularizer via the
+            # 'intermediates' collection (reference saves m.min_d2 /
+            # m.deformed_KP on the module, blocks.py:300-305)
+            self.sow("intermediates", "deform_min_d2", min_d2 / (self.kp_extent**2))
+            self.sow(
+                "intermediates", "deform_kp_locs", deformed_kp / self.kp_extent
+            )
+        return out
 
 
 class SimpleBlock(nn.Module):

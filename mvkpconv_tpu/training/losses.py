@@ -46,28 +46,74 @@ def segmentation_cross_entropy(
 
 
 def p2p_fitting_regularizer(
-    offsets: jnp.ndarray, kp_extent: float, repulse_extent: float,
-    fitting_power: float = 1.0,
+    min_d2_norm: jnp.ndarray,
+    kp_locs_norm: jnp.ndarray,
+    repulse_extent: float = 1.2,
 ) -> jnp.ndarray:
-    """Deformable-KPConv regularizer (architectures.py:21-54).
-
-    Penalizes (a) kernel points drifting beyond KP_extent (fitting term uses
-    min distance to inputs in the reference; here approximated by the offset
-    magnitude since shadow-free neighborhoods make them equivalent in scale)
-    and (b) deformed kernel points closer than ``repulse_extent`` to each
-    other (repulsive term).
+    """Per-layer deformable-KPConv regularizer — architectures.py:21-54 math.
 
     Args:
-      offsets: (B, N, M, 3) deformed kernel offsets (KP_extent-scaled).
+      min_d2_norm: (B, N, M) min squared distance from each deformed kernel
+        point to a real neighbor, already normalized by KP_extent² (sown by
+        KPConvLayer as 'deform_min_d2').
+      kp_locs_norm: (B, N, M, 3) deformed kernel positions / KP_extent
+        (sown as 'deform_kp_locs').
+      repulse_extent: repulsion distance in extent units (config 1.2).
+
+    Returns:
+      (fitting, repulsion) pair; the model-level loss combines them as
+      power · (2·Σ fitting + Σ repulsion) over deformable layers.
     """
-    # fitting: keep deformed points within the extent
-    norm = jnp.linalg.norm(offsets, axis=-1) / kp_extent
-    fitting = jnp.mean(jnp.maximum(norm - 1.0, 0.0) ** 2)
-    # repulsion between deformed kernel points
-    kp = offsets
-    d = jnp.linalg.norm(kp[..., :, None, :] - kp[..., None, :, :], axis=-1)
-    m = kp.shape[-2]
+    fitting = jnp.mean(min_d2_norm)
+    locs = kp_locs_norm
+    d = jnp.sqrt(
+        jnp.maximum(
+            jnp.sum(
+                (locs[..., :, None, :] - jax.lax.stop_gradient(locs)[..., None, :, :])
+                ** 2,
+                axis=-1,
+            ),
+            1e-12,
+        )
+    )  # (B, N, M, M)
+    m = locs.shape[-2]
     eye = jnp.eye(m, dtype=bool)
-    rep = jnp.maximum(0.0, repulse_extent - d / kp_extent) ** 2
-    repulsion = jnp.mean(jnp.where(eye, 0.0, rep))
-    return fitting_power * (fitting + repulsion)
+    rep = jnp.minimum(d - repulse_extent, 0.0) ** 2
+    rep = jnp.where(eye, 0.0, rep)
+    repulsion = jnp.mean(jnp.sum(rep, axis=-1))
+    return fitting, repulsion
+
+
+def deform_regularization(
+    intermediates,
+    repulse_extent: float = 1.2,
+    fitting_power: float = 1.0,
+) -> jnp.ndarray:
+    """Aggregate the deformable regularizer over all sown KPConv layers.
+
+    Walks the 'intermediates' collection for 'deform_min_d2' /
+    'deform_kp_locs' pairs (blocks.KPConvLayer sows one per deformable
+    conv) and returns power · (2·fitting + repulsion) like
+    p2p_fitting_regularizer in the reference.
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(
+        flax.core.unfreeze(intermediates), sep="/"
+    )
+    fitting = 0.0
+    repulsion = 0.0
+    found = False
+    for key, value in flat.items():
+        if key.endswith("deform_min_d2"):
+            locs_key = key.replace("deform_min_d2", "deform_kp_locs")
+            min_d2 = value[0] if isinstance(value, tuple) else value
+            locs = flat[locs_key]
+            locs = locs[0] if isinstance(locs, tuple) else locs
+            f, r = p2p_fitting_regularizer(min_d2, locs, repulse_extent)
+            fitting = fitting + f
+            repulsion = repulsion + r
+            found = True
+    if not found:
+        return jnp.zeros(())
+    return fitting_power * (2.0 * fitting + repulsion)

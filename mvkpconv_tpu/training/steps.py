@@ -86,6 +86,9 @@ def make_train_step(
 ):
     """Build the jitted training step (forward+backward+update)."""
 
+    has_deform = any("deform" in b for b in getattr(cfg, "architecture", ()))
+    mutable = ["batch_stats"] + (["intermediates"] if has_deform else [])
+
     def step(state: TrainState, batch) -> tuple:
         rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(0), state.step)}
 
@@ -94,7 +97,7 @@ def make_train_step(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 True,
-                ["batch_stats"],
+                mutable,
                 rngs=rngs,
             )
             loss = loss_fn(
@@ -106,6 +109,14 @@ def make_train_step(
                 else None,
                 ignore_label=cfg.ignore_label,
             )
+            if has_deform:
+                from mvkpconv_tpu.training.losses import deform_regularization
+
+                loss = loss + deform_regularization(
+                    updates["intermediates"],
+                    cfg.repulse_extent,
+                    cfg.deform_fitting_power,
+                )
             return loss, (logits, updates)
 
         (loss, (logits, updates)), grads = jax.value_and_grad(
