@@ -55,23 +55,27 @@ def main():
     )
     variables = jit_init(model, batch, pyr0)
 
-    @jax.jit
     def infer(variables, batch):
         pyr = build_pyramid(batch["points"], batch["mask"], spec)
         logits = model.apply(variables, batch, pyr, train=False)
-        # reduce to a scalar so one host read fully synchronizes the step
-        # (block_until_ready is unreliable through the remote TPU relay)
-        return logits, jnp.sum(logits)
+        return jnp.sum(logits)
 
-    # warmup / compile
-    _, s = infer(variables, batch)
-    float(s)
+    iters = 8
 
-    iters = 5
+    @jax.jit
+    def timed(variables, batch):
+        # run the whole timed loop inside one XLA program: the dev
+        # environment reaches the TPU through a relay whose round-trip
+        # latency would otherwise dominate per-call timings. The checksum
+        # carry prevents the loop from being elided.
+        def body(_, acc):
+            return acc + infer(variables, batch)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
+
+    float(timed(variables, batch))  # warmup / compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _, s = infer(variables, batch)
-        float(s)  # full sync every iteration — conservative, honest
+    float(timed(variables, batch))  # one dispatch, fully synced by the read
     dt = (time.perf_counter() - t0) / iters
 
     points_per_batch = b * cfg.num_points[0]

@@ -207,6 +207,10 @@ class SphereDataset:
         sphere_abs = pts[inds]
         colors = scene["colors"][inds]
         labels = scene["labels"][inds]
+        if self.training and self.rng.rand() > cfg.augment_color:
+            # color-drop augmentation (ScanNet_sphere_color feature assembly:
+            # with probability 1−augment_color the point colors are zeroed)
+            colors = np.zeros_like(colors)
 
         base_dim = cfg.in_features_dim - (
             cfg.feature_2d_dim if cfg.fusion != "none" else 0

@@ -121,6 +121,31 @@ class KPFCNNHead(nn.Module):
         return x
 
 
+class KPCNN(nn.Module):
+    """KPConv classification network (architectures.py:57-186).
+
+    Encoder from the block list (must end in 'global_average'), then a
+    2-layer head. Unused by the segmentation pipelines but part of the
+    reference model family.
+    """
+
+    cfg: Any
+
+    @nn.compact
+    def __call__(self, features, pyr: Pyramid, train: bool = False):
+        enc, _, _ = plan_architecture(self.cfg)
+        x = features
+        for name, in_dim, out_dim, r, layer, _ in enc:
+            if "global" in name:
+                continue  # applied once below
+            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg)
+            x = block(x, pyr, train)
+        x = B.GlobalAverageBlock()(x, pyr, train)  # (B, C)
+        x = B.UnaryBlock(1024, use_bn=False, name="head_mlp")(x, None, train)
+        x = nn.Dense(self.cfg.num_classes, name="head_softmax")(x)
+        return x
+
+
 class KPFCNN(nn.Module):
     """3D-only KPConv segmentation baseline (train_ScanNet_baseline.py path).
 

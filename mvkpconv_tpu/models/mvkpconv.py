@@ -38,6 +38,7 @@ from mvkpconv_tpu.models.kpfcnn import (
     plan_architecture,
 )
 from mvkpconv_tpu.ops import group_points, points_to_pixel_knn, unproject_depth
+from mvkpconv_tpu.ops.unproject import points_to_pixel_knn_projective
 from mvkpconv_tpu.ops.pyramid import Pyramid
 from mvkpconv_tpu.models.unet2d import UNetResNet34
 
@@ -112,6 +113,11 @@ class MVKPConv(nn.Module):
             )
         if "knn_indices" in batch:
             knn_idx = batch["knn_indices"]
+        elif self.cfg.pixel_assoc == "projective" and "poses" in batch:
+            knn_idx = points_to_pixel_knn_projective(
+                points, image_xyz, batch["intrinsics"], batch["poses"],
+                self.cfg.pixel_knn, window=self.cfg.pixel_window,
+            )
         else:
             knn_idx = points_to_pixel_knn(
                 points, image_xyz, self.cfg.pixel_knn,

@@ -24,6 +24,7 @@ from mvkpconv_tpu.models.feature_aggregation import FeatureAggregation
 from mvkpconv_tpu.models.pn2 import PN2SSG
 from mvkpconv_tpu.models.unet2d import UNetResNet34
 from mvkpconv_tpu.ops import group_points, points_to_pixel_knn, unproject_depth
+from mvkpconv_tpu.ops.unproject import points_to_pixel_knn_projective
 
 
 class MVPNet3D(nn.Module):
@@ -69,6 +70,10 @@ class MVPNet3D(nn.Module):
             )
         if "knn_indices" in batch:
             knn_indices = batch["knn_indices"]
+        elif "poses" in batch:
+            knn_indices = points_to_pixel_knn_projective(
+                points, image_xyz, batch["intrinsics"], batch["poses"], 3
+            )
         else:
             knn_indices = points_to_pixel_knn(points, image_xyz, 3, method="approx")
         feature_2d, pixel_xyz = self.lift_2d_features(

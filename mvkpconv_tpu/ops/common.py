@@ -40,6 +40,10 @@ def pairwise_sq_dists(query: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
     XLA places on the MXU. Clamped at zero (the expansion can go slightly
     negative in floating point).
 
+    Note: bf16 selection was evaluated and rejected — with sphere extent R
+    and conv radius r, the expansion's cancellation error scales with R²·2⁻⁸
+    (≈0.006 at R=1.2), exceeding r²=0.01 at level 0. Selection needs fp32.
+
     Args:
       query: (..., Nq, D)
       support: (..., Ns, D)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from mvkpconv_tpu.ops.common import SHADOW_COORD
@@ -59,14 +60,22 @@ def unproject_depth(
 
 
 def points_to_pixel_knn(
-    points: jnp.ndarray, image_xyz: jnp.ndarray, k: int = 3, method: str = "exact"
+    points: jnp.ndarray,
+    image_xyz: jnp.ndarray,
+    k: int = 3,
+    method: str = "exact",
 ) -> jnp.ndarray:
-    """3-NN indices from 3D points into the flattened multi-view pixel cloud.
+    """Brute-force k-NN from 3D points into the flattened multi-view pixel
+    cloud (reference semantics: global nearest valid pixels).
+
+    Prefer :func:`points_to_pixel_knn_projective` when camera intrinsics and
+    poses are available — it is ~100× fewer pairs at near-exact accuracy.
 
     Args:
       points: (B, N, 3) target points.
       image_xyz: (B, V, H, W, 3) unprojected pixels (invalid at SHADOW_COORD).
       k: pixel neighbors per point (reference uses 3).
+      method: 'exact' (top_k sort) or 'approx' (TPU approx_min_k).
 
     Returns:
       (B, N, k) int32 indices into the V·H·W axis, directly consumable by
@@ -76,3 +85,66 @@ def points_to_pixel_knn(
     flat = image_xyz.reshape(b, -1, 3)
     idx, _ = knn(points, flat, k, method=method)
     return idx
+
+
+def points_to_pixel_knn_projective(
+    points: jnp.ndarray,
+    image_xyz: jnp.ndarray,
+    intrinsics: jnp.ndarray,
+    poses: jnp.ndarray,
+    k: int = 3,
+    window: int = 5,
+) -> jnp.ndarray:
+    """Pixel association via camera projection — O(V·window²) per point.
+
+    The nearest pixels (in 3D) to a point visible in a view lie around the
+    point's pinhole projection into that view, and for occluded points the
+    occluder's pixels sit on the same ray — so an exact 3D-distance search
+    over a small window around each view's projection reproduces the
+    brute-force k-NN at a tiny fraction of the work (the reference computes
+    this association with a CPU ball-tree over ~100k pixels,
+    scannet_2d3d.py:309-313; the brute-force device op is ~100× more pairs
+    than this). Pixels with invalid depth carry SHADOW coordinates and are
+    naturally never selected.
+
+    Args:
+      points: (B, N, 3) world points.
+      image_xyz: (B, V, H, W, 3) unprojected pixels (SHADOW where invalid).
+      intrinsics: (B, V, 3, 3); poses: (B, V, 4, 4) cam-to-world.
+      k: neighbors; window: candidate window side per view.
+
+    Returns:
+      (B, N, k) int32 indices into the flattened V·H·W pixel axis.
+    """
+    b, v, h, w, _ = image_xyz.shape
+    n = points.shape[1]
+    rot = poses[..., :3, :3]  # cam-to-world
+    trans = poses[..., :3, 3]
+    # world → camera: X_cam = Rᵀ (X_w − t)
+    rel = points[:, None, :, :] - trans[:, :, None, :]  # (B, V, N, 3)
+    cam = jnp.einsum("bvij,bvni->bvnj", rot, rel)  # (B, V, N, 3)
+    z = jnp.maximum(cam[..., 2], 1e-3)
+    fx = intrinsics[..., 0, 0][..., None]
+    fy = intrinsics[..., 1, 1][..., None]
+    cx = intrinsics[..., 0, 2][..., None]
+    cy = intrinsics[..., 1, 2][..., None]
+    u = cam[..., 0] / z * fx + cx
+    vv = cam[..., 1] / z * fy + cy
+    iu = jnp.clip(jnp.round(u).astype(jnp.int32), 0, w - 1)
+    iv = jnp.clip(jnp.round(vv).astype(jnp.int32), 0, h - 1)
+
+    half = window // 2
+    offs = jnp.arange(window, dtype=jnp.int32) - half
+    cu = jnp.clip(iu[..., None] + offs[None, None, None], 0, w - 1)  # (B,V,N,W)
+    cv = jnp.clip(iv[..., None] + offs[None, None, None], 0, h - 1)
+    # (B, V, N, W, W) flattened full-res pixel indices
+    view_base = (jnp.arange(v, dtype=jnp.int32) * h * w)[None, :, None, None, None]
+    cand = view_base + cv[..., :, None] * w + cu[..., None, :]
+    cand = jnp.transpose(cand, (0, 2, 1, 3, 4)).reshape(b, n, v * window * window)
+
+    flat = image_xyz.reshape(b, -1, 3)
+    cand_xyz = jnp.take_along_axis(flat, cand.reshape(b, -1)[..., None], axis=1)
+    cand_xyz = cand_xyz.reshape(b, n, -1, 3)
+    d2 = jnp.sum((cand_xyz - points[:, :, None, :]) ** 2, axis=-1)
+    _, top = jax.lax.top_k(-d2, k)
+    return jnp.take_along_axis(cand, top, axis=-1).astype(jnp.int32)

@@ -22,6 +22,11 @@ def main(argv=None):
     ap.add_argument("--num-points", type=int, default=8192)
     ap.add_argument("--num-views", type=int, default=3)
     ap.add_argument("--train-2d", action="store_true", help="unfreeze the 2D net")
+    ap.add_argument(
+        "--no-images", action="store_true",
+        help="train the 3D-only PointNet++ baseline on point colors "
+             "(reference configs/scannet/3d_baselines, mvpnet/data/scannet_3d.py)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -44,25 +49,40 @@ def main(argv=None):
     cfg = resolve_config(
         args, KPConfig(batch_num=4, num_views=args.num_views, epoch_steps=100)
     )
-    scenes = load_scenes(args.data, True, cfg.num_views,
+    with_views = not args.no_images
+    scenes = load_scenes(args.data, with_views, cfg.num_views,
                          (cfg.image_height, cfg.image_width))
-    val_scenes = load_scenes(args.val_data or "synthetic:2", True, cfg.num_views,
-                             (cfg.image_height, cfg.image_width), seed_offset=100)
+    val_scenes = load_scenes(args.val_data or "synthetic:2", with_views,
+                             cfg.num_views, (cfg.image_height, cfg.image_width),
+                             seed_offset=100)
     ds = ChunkDataset(scenes, num_points=args.num_points, num_views=cfg.num_views,
-                      training=True, seed=args.seed)
+                      use_color_feature=args.no_images, training=True,
+                      seed=args.seed)
     val_ds = ChunkDataset(val_scenes, num_points=args.num_points,
-                          num_views=cfg.num_views, training=False, seed=1)
+                          num_views=cfg.num_views,
+                          use_color_feature=args.no_images, training=False, seed=1)
 
     def to_device(b):
-        return {k: jnp.asarray(v) for k, v in b.items()
-                if k not in ("point_indices", "scene_index", "colors")}
+        drop = ("point_indices", "scene_index")
+        drop = drop if args.no_images else drop + ("colors",)
+        return {k: jnp.asarray(v) for k, v in b.items() if k not in drop}
 
-    model = MVPNet3D(cfg.num_classes, freeze_2d=not args.train_2d)
-    b0 = to_device(ds.sample_batch(cfg.batch_num))
-    variables = jit_init(model, b0)
-    tx = make_optimizer(cfg, frozen_prefixes=() if args.train_2d else ("net_2d",))
+    if args.no_images:
+        from mvkpconv_tpu.models import PN2SSG
+
+        model = PN2SSG(cfg.num_classes)
+        kind = "pn2"
+        b0 = to_device(ds.sample_batch(cfg.batch_num))
+        variables = jit_init(model, b0["points"], b0.get("features"))
+        tx = make_optimizer(cfg)
+    else:
+        model = MVPNet3D(cfg.num_classes, freeze_2d=not args.train_2d)
+        kind = "mvpnet"
+        b0 = to_device(ds.sample_batch(cfg.batch_num))
+        variables = jit_init(model, b0)
+        tx = make_optimizer(cfg, frozen_prefixes=() if args.train_2d else ("net_2d",))
     state = create_train_state(variables, tx)
-    apply_fn = make_apply_fn(model, cfg, "mvpnet")
+    apply_fn = make_apply_fn(model, cfg, kind)
     step = make_train_step(apply_fn, tx, cfg)
     eval_step = make_eval_step(apply_fn, cfg)
 

@@ -78,6 +78,11 @@ class KPConfig:
     feature_2d_dim: int = 64
     use_point_color: bool = True
     pixel_knn: int = 3  # kNN pixels per point for 2D→3D lifting
+    # pixel association: 'projective' searches a window around each point's
+    # camera projection (near-exact, ~100× fewer pairs); 'exact' brute-forces
+    # all pixels like the reference's CPU ball-tree
+    pixel_assoc: str = "projective"
+    pixel_window: int = 9
 
     # ----- deformable regularizer -----
     deform_fitting_power: float = 1.0

@@ -1,0 +1,68 @@
+"""2D→3D pixel association tests, incl. coarse-to-fine accuracy."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mvkpconv_tpu.data import synthetic
+from mvkpconv_tpu.ops import points_to_pixel_knn, unproject_depth
+from mvkpconv_tpu.ops.unproject import points_to_pixel_knn_projective
+
+
+def _scene_setup(seed=0, h=48, w=64, v=3, n=512):
+    scene = synthetic.make_scene(seed=seed, num_points=30000)
+    views = synthetic.render_views(scene, v, h, w, seed=seed)
+    rng = np.random.RandomState(seed)
+    pts = scene["points"][rng.choice(len(scene["points"]), n, replace=False)]
+    image_xyz, valid = unproject_depth(
+        jnp.asarray(views["depth"][None]),
+        jnp.asarray(views["intrinsics"][None]),
+        jnp.asarray(views["poses"][None]),
+    )
+    return jnp.asarray(pts[None]), image_xyz, valid
+
+
+def test_pixel_knn_finds_close_pixels():
+    points, image_xyz, _ = _scene_setup()
+    idx = points_to_pixel_knn(points, image_xyz, 3)
+    flat = np.asarray(image_xyz).reshape(1, -1, 3)
+    gathered = flat[0][np.asarray(idx)[0]]  # (N, 3, 3)
+    d = np.linalg.norm(gathered - np.asarray(points)[0][:, None], axis=-1)
+    # scene surfaces are mostly covered by rendered pixels (some sampled
+    # points fall outside the camera frusta — same situation as real ScanNet
+    # frames, where the reference also takes global nearest pixels)
+    assert np.median(d[:, 0]) < 0.15
+
+
+def test_pixel_knn_projective_matches_exact():
+    scene = synthetic.make_scene(seed=3, num_points=30000)
+    views = synthetic.render_views(scene, 3, 48, 64, seed=3)
+    rng = np.random.RandomState(3)
+    pts = scene["points"][rng.choice(len(scene["points"]), 512, replace=False)]
+    image_xyz, _ = unproject_depth(
+        jnp.asarray(views["depth"][None]),
+        jnp.asarray(views["intrinsics"][None]),
+        jnp.asarray(views["poses"][None]),
+    )
+    P = jnp.asarray(pts[None])
+    exact = points_to_pixel_knn(P, image_xyz, 3)
+    proj = points_to_pixel_knn_projective(
+        P, image_xyz, jnp.asarray(views["intrinsics"][None]),
+        jnp.asarray(views["poses"][None]), 3, window=9,
+    )
+    flat = np.asarray(image_xyz).reshape(1, -1, 3)
+    d_exact = np.linalg.norm(flat[0][np.asarray(exact)[0]] - pts[:, None], axis=-1)
+    d_proj = np.linalg.norm(flat[0][np.asarray(proj)[0]] - pts[:, None], axis=-1)
+    ratio = (d_proj[:, 0] + 1e-6) / (d_exact[:, 0] + 1e-6)
+    # mismatches only occur for points far from every visible surface,
+    # where lifted features are meaningless either way
+    assert np.quantile(ratio, 0.95) <= 1.02, np.quantile(ratio, [0.5, 0.95, 1.0])
+    assert np.mean(d_proj[:, 0] - d_exact[:, 0]) < 0.01
+
+
+def test_pixel_knn_ignores_invalid_pixels():
+    points, image_xyz, valid = _scene_setup()
+    idx = np.asarray(points_to_pixel_knn(points, image_xyz, 3))
+    flat_valid = np.asarray(valid).reshape(1, -1)
+    # selected pixels must be valid wherever any valid pixel exists
+    assert flat_valid[0][idx[0]].all()
