@@ -76,6 +76,12 @@ def make_scene(
     boxes, box_lab, box_col = [], [], []
     per_box = max(n_box // max(num_boxes, 1) // 6, 8)
     box_classes = rng.choice([2, 3, 4, 5, 6, 7, 19], size=num_boxes)
+    # class-correlated appearance (like real furniture): each class gets its
+    # palette color with per-instance jitter, so 2D appearance carries class
+    # signal that pure geometry lacks
+    from mvkpconv_tpu.data.meta import SCANNET_COLOR_PALETTE
+
+    palette = np.asarray(SCANNET_COLOR_PALETTE, np.float32) / 255.0
     for b in range(num_boxes):
         size = rng.uniform(0.4, 1.4, 3) * np.array([1, 1, 0.8])
         center = np.array(
@@ -84,7 +90,8 @@ def make_scene(
         pts = _box_points(rng, center, size, per_box)
         boxes.append(pts)
         box_lab.append(np.full(len(pts), box_classes[b], np.int32))
-        box_col.append(np.tile(rng.rand(1, 3) * 0.8 + 0.1, (len(pts), 1)))
+        base = palette[box_classes[b]] + rng.normal(scale=0.05, size=3)
+        box_col.append(np.tile(np.clip(base, 0, 1)[None], (len(pts), 1)))
     boxes = np.concatenate(boxes)
     box_lab = np.concatenate(box_lab)
     box_col = np.concatenate(box_col)
