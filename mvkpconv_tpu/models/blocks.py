@@ -62,6 +62,7 @@ def kpconv_apply(
     kp_offsets: Optional[jnp.ndarray] = None,
     compute_dtype: Any = jnp.float32,
     return_deform_aux: bool = False,
+    use_pallas: bool = True,
 ):
     """Kernel point convolution (blocks.py:237-374 forward, batched).
 
@@ -86,6 +87,31 @@ def kpconv_apply(
         [s_pts, jnp.full_like(s_pts[:, :1], 1e6)], axis=1
     )  # shadow support point at +1e6 (blocks.py:277)
     neighbors = group_points(s_pad, neighb_inds) - q_pts[:, :, None, :]
+
+    # Fast path: fused Pallas kernel for the rigid linear/sum configuration
+    # (the production setting) — influence weights and per-KP weighted sums
+    # never leave VMEM. Falls back to the XLA path for deformable/closest/
+    # gaussian variants and non-TPU backends.
+    if (
+        use_pallas
+        and kp_offsets is None
+        and not return_deform_aux
+        and influence == "linear"
+        and aggregation == "sum"
+        and q_pts.shape[1] % min(128, q_pts.shape[1]) == 0
+    ):
+        from mvkpconv_tpu.ops.pallas.kpconv import kpconv_fused, pallas_supported
+
+        if pallas_supported():
+            nx = gather_neighbors(x, neighb_inds)
+            m, cin, cout = weights.shape
+            return kpconv_fused(
+                neighbors,
+                nx.astype(compute_dtype),
+                kernel_pts.astype(jnp.float32),
+                weights.reshape(m * cin, cout).astype(jnp.float32),
+                float(kp_extent),
+            )
     # (B, Nq, K, M) squared distances between neighbors and kernel points
     kp = kernel_pts[None, None, None].astype(jnp.float32)
     if kp_offsets is not None:
@@ -219,6 +245,7 @@ class KPConvLayer(nn.Module):
     aggregation: str = "sum"
     deformable: bool = False
     compute_dtype: Any = jnp.float32
+    use_pallas: bool = True
 
     def setup(self):
         # kernel points scale with the conv radius (blocks.py:225-235: the
@@ -268,6 +295,7 @@ class KPConvLayer(nn.Module):
             kp_offsets=offsets,
             compute_dtype=self.compute_dtype,
             return_deform_aux=self.deformable,
+            use_pallas=self.use_pallas,
         )
         if self.deformable:
             out, (min_d2, deformed_kp) = out
@@ -309,6 +337,7 @@ class SimpleBlock(nn.Module):
             aggregation=self.cfg.aggregation_mode,
             deformable="deform" in self.block_name,
             compute_dtype=self.cfg.compute_dtype,
+            use_pallas=getattr(self.cfg, "use_pallas_kpconv", True),
             name="KPConv",
         )
         x = conv(q, pyr.points[l], inds, x)
@@ -353,6 +382,7 @@ class ResnetBottleneckBlock(nn.Module):
             aggregation=self.cfg.aggregation_mode,
             deformable="deform" in self.block_name,
             compute_dtype=self.cfg.compute_dtype,
+            use_pallas=getattr(self.cfg, "use_pallas_kpconv", True),
             name="KPConv",
         )
         h = conv(q, pyr.points[l], inds, h)

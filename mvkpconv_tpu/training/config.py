@@ -118,6 +118,7 @@ class KPConfig:
     # 'approx' = TPU-native approx_min_k neighbor selection (fast; safe where
     # the reference already truncates neighbor lists); 'exact' = full top-k.
     neighbor_method: str = "approx"
+    use_pallas_kpconv: bool = True  # fused KPConv kernel on TPU backends
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 
