@@ -168,16 +168,21 @@ def load_frames(
     frames_dir,
     frame_ids: Sequence[int],
     resize_hw: Optional[tuple] = (120, 160),
+    label_dir: Optional[str] = None,
+    label_lut: Optional[np.ndarray] = None,
 ) -> Dict[str, np.ndarray]:
     """Load extracted color/depth/pose frames from the SensReader layout
     (color/<id>.jpg, depth/<id>.png uint16 mm, pose/<id>.txt,
     intrinsic/intrinsic_depth.txt) and resize to the training resolution
-    (resize_scannet_images.py)."""
+    (resize_scannet_images.py). With ``label_dir`` (2D label pngs carrying
+    nyu40 ids, from unzip_2d_labels.py), also returns per-pixel train-id
+    label maps for 2D training (scannet_2d.py:86-104 mapping)."""
     from PIL import Image
 
     frames_dir = Path(frames_dir)
     K = np.loadtxt(frames_dir / "intrinsic" / "intrinsic_depth.txt")[:3, :3]
-    rgbs, depths, poses, Ks = [], [], [], []
+    rgbs, depths, poses, Ks, labels = [], [], [], [], []
+    lut = label_lut if label_lut is not None else nyu40_to_train_ids()
     for fid in frame_ids:
         rgb = Image.open(frames_dir / "color" / f"{fid}.jpg")
         dep = Image.open(frames_dir / "depth" / f"{fid}.png")
@@ -192,9 +197,19 @@ def load_frames(
         depths.append(np.asarray(dep, np.float32) / 1000.0)
         poses.append(np.loadtxt(frames_dir / "pose" / f"{fid}.txt").astype(np.float32))
         Ks.append(k.astype(np.float32))
-    return {
+        if label_dir is not None:
+            lab = Image.open(Path(label_dir) / f"{fid}.png")
+            if resize_hw is not None:
+                lab = lab.resize((resize_hw[1], resize_hw[0]), Image.NEAREST)
+            raw = np.asarray(lab, np.int64)
+            raw = np.clip(raw, 0, 40)
+            labels.append(lut[raw].astype(np.int32))
+    out = {
         "rgb": np.stack(rgbs),
         "depth": np.stack(depths),
         "poses": np.stack(poses),
         "intrinsics": np.stack(Ks),
     }
+    if labels:
+        out["label"] = np.stack(labels)
+    return out

@@ -62,7 +62,7 @@ def kpconv_apply(
     kp_offsets: Optional[jnp.ndarray] = None,
     compute_dtype: Any = jnp.float32,
     return_deform_aux: bool = False,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
 ):
     """Kernel point convolution (blocks.py:237-374 forward, batched).
 
@@ -245,7 +245,7 @@ class KPConvLayer(nn.Module):
     aggregation: str = "sum"
     deformable: bool = False
     compute_dtype: Any = jnp.float32
-    use_pallas: bool = True
+    use_pallas: bool = False
 
     def setup(self):
         # kernel points scale with the conv radius (blocks.py:225-235: the
@@ -337,7 +337,7 @@ class SimpleBlock(nn.Module):
             aggregation=self.cfg.aggregation_mode,
             deformable="deform" in self.block_name,
             compute_dtype=self.cfg.compute_dtype,
-            use_pallas=getattr(self.cfg, "use_pallas_kpconv", True),
+            use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
         )
         x = conv(q, pyr.points[l], inds, x)
@@ -382,7 +382,7 @@ class ResnetBottleneckBlock(nn.Module):
             aggregation=self.cfg.aggregation_mode,
             deformable="deform" in self.block_name,
             compute_dtype=self.cfg.compute_dtype,
-            use_pallas=getattr(self.cfg, "use_pallas_kpconv", True),
+            use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
         )
         h = conv(q, pyr.points[l], inds, h)

@@ -1,14 +1,15 @@
-"""Fused KPConv Pallas kernel.
+"""Fused KPConv Pallas kernel (opt-in; XLA path is currently faster).
 
 Fuses the math of blocks.py:277-374 after the neighbor gathers — kernel
 point influence weights, the per-kernel-point weighted feature sums and the
-output matmul — into one VMEM-resident pass. The XLA path materializes the
-(B, N, K, M) influence tensor and the (B, N, M, Cin) weighted features in
-HBM (≈1.4 GB per level-0 block at production sizes); here they never leave
-VMEM. The per-query (M,K)@(K,Cin) contractions are too small for the MXU, so
-they are computed as K accumulated outer products on the VPU in an
-(TQ, M·Cin)-lane layout; only the final (TQ, M·Cin) @ (M·Cin, Cout) matmul
-rides the MXU.
+output matmul — into one VMEM-resident pass.
+
+Status (measured on v5e, B=4 N=16384 K=30 M=15 Cin=Cout=32): 40.5 ms vs
+30.4 ms for the XLA einsum chain — XLA fuses this pattern into the MXU well
+on its own, and this kernel's per-KP (TQ, Cin)@(Cin, Cout) matmuls plus the
+VMEM-forced small query tile underutilize the MXU. Kept (with oracle +
+gradient tests) as groundwork for a revised layout; enable via
+``KPConfig.use_pallas_kpconv``.
 
 Gathers stay in XLA (dynamic-index gathers don't map to Mosaic); shadow
 neighbors arrive pre-resolved (relative position ~1e6 ⇒ zero influence,
@@ -71,6 +72,7 @@ def _kernel(rel_ref, nx_ref, kp_ref, w_ref, out_ref, *, kp_extent, num_k, num_m,
         kp.T,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,  # MXU defaults to bf16 multiply
     ).reshape(tq, num_k, num_m)
     sq = jnp.maximum(rel2[:, :, None] - 2.0 * cross + kp2[None, None, :], 0.0)
     w = jnp.maximum(1.0 - jnp.sqrt(sq) / kp_extent, 0.0)  # (TQ, K, M)
@@ -99,8 +101,13 @@ def _forward_pallas(neighb_rel, nx, kernel_pts, weights2d, kp_extent, interpret=
     m = kernel_pts.shape[0]
     cin = nx.shape[-1]
     cout = weights2d.shape[-1]
-    tq = min(128, n)
-    assert n % tq == 0, f"query count {n} not divisible by tile {tq}"
+    # adaptive query tile: the kernel's live VMEM scales ~ tq·K·Cin (inputs,
+    # the unrolled per-KP products and double buffering); tq·Cin ≤ 2048
+    # keeps production shapes (K=30) under the 16 MB scoped-VMEM limit.
+    tq = min(128, n, max(8, 2048 // max(cin, 1)))
+    while n % tq != 0:
+        tq //= 2
+    assert tq >= 1 and n % tq == 0
 
     grid = (b, n // tq)
     return pl.pallas_call(

@@ -118,7 +118,11 @@ class KPConfig:
     # 'approx' = TPU-native approx_min_k neighbor selection (fast; safe where
     # the reference already truncates neighbor lists); 'exact' = full top-k.
     neighbor_method: str = "approx"
-    use_pallas_kpconv: bool = True  # fused KPConv kernel on TPU backends
+    # opt-in fused Pallas KPConv kernel: measured 1.33× SLOWER than XLA's
+    # own fusion of the einsum chain at production shapes (XLA fuses this
+    # pattern well; the kernel's per-KP small matmuls underutilize the MXU).
+    # Kept as groundwork — see ops/pallas/kpconv.py.
+    use_pallas_kpconv: bool = False
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 
