@@ -60,6 +60,7 @@ def kpconv_apply(
     influence: str = "linear",
     aggregation: str = "sum",
     kp_offsets: Optional[jnp.ndarray] = None,
+    kp_modulations: Optional[jnp.ndarray] = None,
     compute_dtype: Any = jnp.float32,
     return_deform_aux: bool = False,
     use_pallas: bool = False,
@@ -95,6 +96,7 @@ def kpconv_apply(
     if (
         use_pallas
         and kp_offsets is None
+        and kp_modulations is None
         and not return_deform_aux
         and influence == "linear"
         and aggregation == "sum"
@@ -156,6 +158,10 @@ def kpconv_apply(
         nx.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
+    if kp_modulations is not None:
+        # modulated deformable KPConv (blocks.py:367-369):
+        # weighted_features *= modulations per kernel point
+        wf = wf * kp_modulations[..., :, None].astype(wf.dtype)
     m, cin, cout = weights.shape
     out = jax.lax.dot_general(
         wf.reshape(wf.shape[0], wf.shape[1], m * cin).astype(compute_dtype),
@@ -244,6 +250,7 @@ class KPConvLayer(nn.Module):
     influence: str = "linear"
     aggregation: str = "sum"
     deformable: bool = False
+    modulated: bool = False  # deformable + per-KP sigmoid modulations
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
 
@@ -260,9 +267,12 @@ class KPConvLayer(nn.Module):
             (self.num_kernel_points, self.in_dim, self.out_dim),
         )
         if self.deformable:
+            # offset dim: 3 per KP, +1 per KP for modulations
+            # (blocks.py:188-192: offset_dim = (p_dim + 1)·K if modulated)
+            per_kp = 4 if self.modulated else 3
             self.offset_conv = KPConvLayer(
                 in_dim=self.in_dim,
-                out_dim=self.num_kernel_points * 3,
+                out_dim=self.num_kernel_points * per_kp,
                 radius=self.radius,
                 kp_extent=self.kp_extent,
                 num_kernel_points=self.num_kernel_points,
@@ -273,15 +283,24 @@ class KPConvLayer(nn.Module):
                 name="offset_conv",
             )
             self.offset_bias = self.param(
-                "offset_bias", nn.initializers.zeros, (self.num_kernel_points * 3,)
+                "offset_bias", nn.initializers.zeros,
+                (self.num_kernel_points * per_kp,),
             )
 
     def __call__(self, q_pts, s_pts, neighb_inds, x):
         offsets = None
+        modulations = None
+        m = self.num_kernel_points
         if self.deformable:
             off_feat = self.offset_conv(q_pts, s_pts, neighb_inds, x) + self.offset_bias
             b, nq = off_feat.shape[:2]
-            offsets = off_feat.reshape(b, nq, self.num_kernel_points, 3) * self.kp_extent
+            if self.modulated:
+                # first 3K features are offsets, last K are modulations
+                # (blocks.py:249-256): modulation = 2·sigmoid(·)
+                offsets = off_feat[..., : m * 3].reshape(b, nq, m, 3) * self.kp_extent
+                modulations = 2.0 * jax.nn.sigmoid(off_feat[..., m * 3 :])
+            else:
+                offsets = off_feat.reshape(b, nq, m, 3) * self.kp_extent
         out = kpconv_apply(
             q_pts,
             s_pts,
@@ -293,6 +312,7 @@ class KPConvLayer(nn.Module):
             self.influence,
             self.aggregation,
             kp_offsets=offsets,
+            kp_modulations=modulations,
             compute_dtype=self.compute_dtype,
             return_deform_aux=self.deformable,
             use_pallas=self.use_pallas,
@@ -336,6 +356,7 @@ class SimpleBlock(nn.Module):
             influence=self.cfg.kp_influence,
             aggregation=self.cfg.aggregation_mode,
             deformable="deform" in self.block_name,
+            modulated=getattr(self.cfg, "modulated", False),
             compute_dtype=self.cfg.compute_dtype,
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
@@ -381,6 +402,7 @@ class ResnetBottleneckBlock(nn.Module):
             influence=self.cfg.kp_influence,
             aggregation=self.cfg.aggregation_mode,
             deformable="deform" in self.block_name,
+            modulated=getattr(self.cfg, "modulated", False),
             compute_dtype=self.cfg.compute_dtype,
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
