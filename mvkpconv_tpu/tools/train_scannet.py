@@ -24,6 +24,10 @@ def main(argv=None):
     ap.add_argument("--fusion", default="none",
                     choices=["none", "early", "middle", "late"])
     ap.add_argument("--in-features-dim", type=int, default=None)
+    ap.add_argument("--path-2d", default=None,
+                    help="train_2d output dir whose UNet weights to load "
+                         "(frozen) into the fusion model (reference "
+                         "config.path_2D, architectures_sphere.py:226-237)")
     args = ap.parse_args(argv)
 
     import jax
@@ -72,7 +76,11 @@ def main(argv=None):
     val_ds = SphereDataset(val_scenes, cfg, training=False, seed=args.seed + 1)
 
     kind = "kpfcnn" if fusion == "none" else "mvkpconv"
-    model = KPFCNN(cfg) if fusion == "none" else MVKPConv(cfg)
+    model = (
+        KPFCNN(cfg)
+        if fusion == "none"
+        else MVKPConv(cfg, freeze_2d=bool(args.path_2d))
+    )
     b0 = device_batch(ds.sample_batch())
     pyr0 = jax.jit(lambda p, m: build_pyramid(p, m, cfg.pyramid_spec()))(
         jnp.asarray(b0["points"]), jnp.asarray(b0["mask"])
@@ -81,8 +89,15 @@ def main(argv=None):
         variables = jit_init(model, jnp.asarray(b0["features"]), pyr0)
     else:
         variables = jit_init(model, {k: jnp.asarray(v) for k, v in b0.items()}, pyr0)
+        if args.path_2d:
+            from mvkpconv_tpu.training.transfer import load_2d_checkpoint_into
 
-    frozen = ("net_2d",) if fusion != "none" else ()
+            variables = load_2d_checkpoint_into(variables, args.path_2d)
+            print(f"loaded frozen 2D weights from {args.path_2d}")
+
+    # freeze the 2D net only when it comes pretrained (reference behavior);
+    # without a checkpoint it must train end-to-end to be useful
+    frozen = ("net_2d",) if (fusion != "none" and args.path_2d) else ()
     tx = make_optimizer(cfg, frozen_prefixes=frozen)
     state = create_train_state(variables, tx)
     apply_fn = make_apply_fn(model, cfg, kind)
