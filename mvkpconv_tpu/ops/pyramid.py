@@ -151,28 +151,31 @@ def build_pyramid(
     for level in range(spec.num_levels):
         p, m = pts[level], msks[level]
         r = spec.radius(level)
-        neighbors.append(
-            radius_neighbors(
-                p, p, r, spec.conv_neighbors[level], method=spec.neighbor_method
-            )
-        )
+        kc = spec.conv_neighbors[level]
         if level + 1 < spec.num_levels:
             sub = grid_subsample(
                 p, spec.cell_size(level + 1), spec.num_points[level + 1], mask=m
             )
             pts.append(sub.points)
             msks.append(sub.mask)
-            pools.append(
-                radius_neighbors(
-                    sub.points, p, r, spec.pool_neighbors[level],
-                    method=spec.neighbor_method,
-                )
+            # conv (queries = level l) and pool (queries = level l+1) share
+            # the same supports and radius — one fused selection call
+            kp = spec.pool_neighbors[level]
+            both = radius_neighbors(
+                jnp.concatenate([p, sub.points], axis=1), p, r, max(kc, kp),
+                method=spec.neighbor_method,
             )
+            neighbors.append(both[:, : p.shape[1], :kc])
+            pools.append(both[:, p.shape[1] :, :kp])
             up_idx, up_d2 = knn(p, sub.points, 1)
             up_idx = jnp.where(
                 up_d2 <= (2.0 * r) ** 2, up_idx, sub.points.shape[1]
             ).astype(jnp.int32)
             upsamples.append(up_idx)
+        else:
+            neighbors.append(
+                radius_neighbors(p, p, r, kc, method=spec.neighbor_method)
+            )
     return Pyramid(
         points=tuple(pts),
         masks=tuple(msks),
