@@ -18,6 +18,11 @@ import numpy as np
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SRC = _NATIVE_DIR / "host_ops.cpp"
 _LIB_PATH = _NATIVE_DIR / "libhost_ops.so"
+# Written after a successful local build. A .so without a marker (or older
+# than it) was built elsewhere and may use ISA extensions this CPU lacks
+# (-march=native) — loading it would SIGILL past the except below — so such
+# libraries are always rebuilt locally. The binary itself is gitignored.
+_MARKER = _NATIVE_DIR / ".libhost_ops.built_here"
 _lib = None
 _tried = False
 
@@ -28,12 +33,19 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime:
+        stale = (
+            not _LIB_PATH.exists()
+            or _LIB_PATH.stat().st_mtime < _SRC.stat().st_mtime
+            or not _MARKER.exists()
+            or _MARKER.stat().st_mtime < _LIB_PATH.stat().st_mtime
+        )
+        if stale:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
                  str(_SRC), "-o", str(_LIB_PATH)],
                 check=True, capture_output=True,
             )
+            _MARKER.touch()
         lib = ctypes.CDLL(str(_LIB_PATH))
         f32p = ctypes.POINTER(ctypes.c_float)
         i32p = ctypes.POINTER(ctypes.c_int32)

@@ -52,6 +52,23 @@ def parse_label_mapping_tsv(tsv_path) -> Dict[int, int]:
     return mapping
 
 
+def compose_raw_to_train_lut(raw_to_nyu40: Dict[int, int]) -> np.ndarray:
+    """Raw ScanNet label id → train id LUT.
+
+    Composes the TSV raw→nyu40 mapping with the nyu40→train mapping exactly
+    as the reference does (mvpnet/data/scannet_2d.py:86-104 builds
+    ``raw_to_scannet = nyu40_to_scannet[raw_to_nyu40]``). Raw ids absent from
+    the TSV, or mapping to nyu40 ids outside [0, 40], become ignore (−1).
+    """
+    nyu_lut = nyu40_to_train_ids()
+    size = max(raw_to_nyu40.keys()) + 1
+    lut = np.full(size, -1, np.int32)
+    for raw, nyu in raw_to_nyu40.items():
+        if 0 <= raw and 0 <= nyu <= 40:
+            lut[raw] = nyu_lut[nyu]
+    return lut
+
+
 def load_scene(
     scan_dir, scan_id: str, label_lut: Optional[np.ndarray] = None
 ) -> Dict[str, np.ndarray]:
@@ -170,19 +187,29 @@ def load_frames(
     resize_hw: Optional[tuple] = (120, 160),
     label_dir: Optional[str] = None,
     label_lut: Optional[np.ndarray] = None,
+    label_mapping_tsv=None,
 ) -> Dict[str, np.ndarray]:
     """Load extracted color/depth/pose frames from the SensReader layout
     (color/<id>.jpg, depth/<id>.png uint16 mm, pose/<id>.txt,
     intrinsic/intrinsic_depth.txt) and resize to the training resolution
-    (resize_scannet_images.py). With ``label_dir`` (2D label pngs carrying
-    nyu40 ids, from unzip_2d_labels.py), also returns per-pixel train-id
-    label maps for 2D training (scannet_2d.py:86-104 mapping)."""
+    (resize_scannet_images.py). With ``label_dir``, also returns per-pixel
+    train-id label maps for 2D training.
+
+    Label-id convention: the ``*_2d-label.zip`` pngs (unzip_2d_labels.py)
+    carry RAW ScanNet ids that must first be mapped raw→nyu40 via the TSV —
+    pass ``label_mapping_tsv`` (path to scannetv2-labels.combined.tsv) for
+    those, mirroring scannet_2d.py:86-104. Without it, pngs are assumed to
+    already carry nyu40 ids (e.g. scannet_frames_25k), and ids > 40 raise
+    rather than silently corrupting supervision."""
     from PIL import Image
 
     frames_dir = Path(frames_dir)
     K = np.loadtxt(frames_dir / "intrinsic" / "intrinsic_depth.txt")[:3, :3]
     rgbs, depths, poses, Ks, labels = [], [], [], [], []
-    lut = label_lut if label_lut is not None else nyu40_to_train_ids()
+    if label_mapping_tsv is not None:
+        lut = compose_raw_to_train_lut(parse_label_mapping_tsv(label_mapping_tsv))
+    else:
+        lut = label_lut if label_lut is not None else nyu40_to_train_ids()
     for fid in frame_ids:
         rgb = Image.open(frames_dir / "color" / f"{fid}.jpg")
         dep = Image.open(frames_dir / "depth" / f"{fid}.png")
@@ -202,8 +229,15 @@ def load_frames(
             if resize_hw is not None:
                 lab = lab.resize((resize_hw[1], resize_hw[0]), Image.NEAREST)
             raw = np.asarray(lab, np.int64)
-            raw = np.clip(raw, 0, 40)
-            labels.append(lut[raw].astype(np.int32))
+            if label_mapping_tsv is None and raw.max(initial=0) > 40:
+                raise ValueError(
+                    f"2D label png {fid}.png carries ids > 40 — these are raw "
+                    "ScanNet ids (*_2d-label.zip); pass label_mapping_tsv= so "
+                    "they are first mapped raw→nyu40 (scannet_2d.py:86-104)"
+                )
+            in_range = (raw >= 0) & (raw < len(lut))
+            mapped = lut[np.clip(raw, 0, len(lut) - 1)].astype(np.int32)
+            labels.append(np.where(in_range, mapped, -1))
     out = {
         "rgb": np.stack(rgbs),
         "depth": np.stack(depths),

@@ -287,7 +287,7 @@ class KPConvLayer(nn.Module):
                 (self.num_kernel_points * per_kp,),
             )
 
-    def __call__(self, q_pts, s_pts, neighb_inds, x):
+    def __call__(self, q_pts, s_pts, neighb_inds, x, *, q_mask=None):
         offsets = None
         modulations = None
         m = self.num_kernel_points
@@ -326,6 +326,11 @@ class KPConvLayer(nn.Module):
             self.sow(
                 "intermediates", "deform_kp_locs", deformed_kp / self.kp_extent
             )
+            if q_mask is not None:
+                # so the p2p regularizer can exclude padded query rows from
+                # its normalization (the reference means over real stacked
+                # points only, architectures.py:21-54)
+                self.sow("intermediates", "deform_mask", q_mask)
         return out
 
 
@@ -361,7 +366,7 @@ class SimpleBlock(nn.Module):
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
         )
-        x = conv(q, pyr.points[l], inds, x)
+        x = conv(q, pyr.points[l], inds, x, q_mask=out_mask)
         x = MaskedBatchNorm(self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn")(
             x, out_mask, train
         )
@@ -407,7 +412,7 @@ class ResnetBottleneckBlock(nn.Module):
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
         )
-        h = conv(q, pyr.points[l], inds, h)
+        h = conv(q, pyr.points[l], inds, h, q_mask=out_mask)
         h = MaskedBatchNorm(
             self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn_conv"
         )(h, out_mask, train)

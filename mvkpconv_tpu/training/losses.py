@@ -49,6 +49,7 @@ def p2p_fitting_regularizer(
     min_d2_norm: jnp.ndarray,
     kp_locs_norm: jnp.ndarray,
     repulse_extent: float = 1.2,
+    mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Per-layer deformable-KPConv regularizer — architectures.py:21-54 math.
 
@@ -59,12 +60,22 @@ def p2p_fitting_regularizer(
       kp_locs_norm: (B, N, M, 3) deformed kernel positions / KP_extent
         (sown as 'deform_kp_locs').
       repulse_extent: repulsion distance in extent units (config 1.2).
+      mask: optional (B, N) query validity — padded rows are excluded from
+        both normalizations (the reference means over real stacked points
+        only, so without this the regularizer weight would scale with each
+        batch's padding fraction).
 
     Returns:
       (fitting, repulsion) pair; the model-level loss combines them as
       power · (2·Σ fitting + Σ repulsion) over deformable layers.
     """
-    fitting = jnp.mean(min_d2_norm)
+    m_kp = min_d2_norm.shape[-1]
+    if mask is None:
+        w = jnp.ones(min_d2_norm.shape[:-1], jnp.float32)
+    else:
+        w = mask.astype(jnp.float32)
+    denom = jnp.maximum(jnp.sum(w) * m_kp, 1.0)
+    fitting = jnp.sum(min_d2_norm * w[..., None]) / denom
     locs = kp_locs_norm
     d = jnp.sqrt(
         jnp.maximum(
@@ -80,7 +91,8 @@ def p2p_fitting_regularizer(
     eye = jnp.eye(m, dtype=bool)
     rep = jnp.minimum(d - repulse_extent, 0.0) ** 2
     rep = jnp.where(eye, 0.0, rep)
-    repulsion = jnp.mean(jnp.sum(rep, axis=-1))
+    rep_sum = jnp.sum(rep, axis=-1)  # (B, N, M)
+    repulsion = jnp.sum(rep_sum * w[..., None]) / denom
     return fitting, repulsion
 
 
@@ -110,7 +122,10 @@ def deform_regularization(
             min_d2 = value[0] if isinstance(value, tuple) else value
             locs = flat[locs_key]
             locs = locs[0] if isinstance(locs, tuple) else locs
-            f, r = p2p_fitting_regularizer(min_d2, locs, repulse_extent)
+            mask = flat.get(key.replace("deform_min_d2", "deform_mask"))
+            if isinstance(mask, tuple):
+                mask = mask[0]
+            f, r = p2p_fitting_regularizer(min_d2, locs, repulse_extent, mask)
             fitting = fitting + f
             repulsion = repulsion + r
             found = True

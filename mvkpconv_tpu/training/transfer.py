@@ -21,40 +21,41 @@ def load_2d_checkpoint_into(variables: Dict[str, Any], run_dir) -> Dict[str, Any
     """Return ``variables`` with the ``net_2d`` subtree replaced by the
     parameters of the 2D UNet trained at ``run_dir`` (a train_2d output dir;
     prefers the best-metric snapshot, falls back to the latest)."""
-    ck = Checkpointer(Path(run_dir) / "checkpoints")
-    # build a host-side template with the same structure as the saved
-    # TrainState: reuse the fusion variables' net_2d subtree
-    template = {
-        "step": 0,
-        "params": jax.device_get(variables["params"]["net_2d"]),
-        "batch_stats": jax.device_get(variables["batch_stats"]["net_2d"]),
-        "opt_state": None,
-    }
-    from mvkpconv_tpu.training.steps import TrainState
     import flax.serialization as ser
+    import numpy as np
 
+    ck = Checkpointer(Path(run_dir) / "checkpoints")
     path = (Path(run_dir) / "checkpoints" / "model_best.msgpack")
     if not path.exists():
         path = ck.latest_path()
     if path is None:
         raise FileNotFoundError(f"no 2D checkpoint under {run_dir}/checkpoints")
     raw = ser.msgpack_restore(Path(path).read_bytes())
-    # raw is a dict-of-dicts TrainState; its params/batch_stats are the UNet's
-    params_2d = raw["params"]
-    stats_2d = raw["batch_stats"]
+
+    def restore_subtree(target, restored, name):
+        # from_state_dict checks tree structure/keys against the live subtree
+        out = ser.from_state_dict(jax.device_get(target), restored)
+
+        def check(t, v):
+            v = np.asarray(v)
+            if v.shape != np.shape(t):
+                raise ValueError(
+                    f"2D checkpoint {name} leaf shape {v.shape} does not "
+                    f"match the fusion model's net_2d shape {np.shape(t)}"
+                )
+            return v.astype(np.asarray(t).dtype)
+
+        return jax.tree.map(check, jax.device_get(target), out)
+
     new_vars = {
         "params": dict(variables["params"]),
         "batch_stats": dict(variables["batch_stats"]),
     }
-    new_vars["params"]["net_2d"] = jax.tree.map(
-        lambda t, v: v.reshape(t.shape).astype(t.dtype),
-        jax.device_get(variables["params"]["net_2d"]),
-        params_2d,
+    new_vars["params"]["net_2d"] = restore_subtree(
+        variables["params"]["net_2d"], raw["params"], "params"
     )
-    new_vars["batch_stats"]["net_2d"] = jax.tree.map(
-        lambda t, v: v.reshape(t.shape).astype(t.dtype),
-        jax.device_get(variables["batch_stats"]["net_2d"]),
-        stats_2d,
+    new_vars["batch_stats"]["net_2d"] = restore_subtree(
+        variables["batch_stats"]["net_2d"], raw["batch_stats"], "batch_stats"
     )
     for k, v in variables.items():
         if k not in new_vars:
