@@ -132,3 +132,87 @@ class UNetResNet34(nn.Module):
             x = x[:, :h, :w, :]
         seg_logit = nn.Conv(self.num_classes, (1, 1), name="logit")(x)
         return {"seg_logit": seg_logit, "feature": x}
+
+
+def load_torch_resnet34_encoder(variables, state_dict):
+    """Import torchvision-ResNet34 weights into the UNet encoder subtree.
+
+    The reference builds its 2D net on ImageNet-pretrained torchvision
+    weights (mvpnet/models/unet_resnet34.py:17-31: ``resnet34(pretrained)``,
+    with ``conv1.weight`` copied into the stride-1 stem). This is the JAX
+    equivalent: map a torch-format ResNet34 state dict onto the Flax
+    ``UNetResNet34`` encoder params + batch stats (OIHW→HWIO kernel
+    transposes, BN weight/bias→scale/bias, running stats). Decoder/logit
+    params are left untouched (the reference's decoder also trains from
+    scratch).
+
+    Args:
+      variables: the UNet's own ``{'params', 'batch_stats'}`` variables.
+      state_dict: a torchvision ``resnet34().state_dict()`` — either a
+        mapping of numpy/torch arrays, or a path to a ``torch.save``d file
+        (loaded with CPU torch; files wrapping the dict under a
+        ``'state_dict'`` key are unwrapped).
+
+    Returns:
+      New variables with the encoder leaves replaced (shape-checked).
+    """
+    import numpy as np
+    from pathlib import Path as _Path
+
+    if isinstance(state_dict, (str, _Path)):
+        import torch
+
+        raw = torch.load(str(state_dict), map_location="cpu")
+        if isinstance(raw, dict) and "state_dict" in raw:
+            raw = raw["state_dict"]
+        state_dict = raw
+    sd = {}
+    for k, v in state_dict.items():
+        if hasattr(v, "detach"):
+            v = v.detach().cpu().numpy()
+        sd[k] = np.asarray(v)
+
+    from flax import traverse_util
+
+    params = traverse_util.flatten_dict(dict(variables["params"]), sep="/")
+    stats = traverse_util.flatten_dict(dict(variables["batch_stats"]), sep="/")
+
+    def put(tree, key, val):
+        if key not in tree:
+            raise KeyError(f"UNet variables have no leaf {key!r}")
+        cur = np.asarray(tree[key])
+        val = np.asarray(val)
+        if val.shape != cur.shape:
+            raise ValueError(
+                f"{key}: torch weight shape {val.shape} != flax {cur.shape}"
+            )
+        tree[key] = val.astype(cur.dtype)
+
+    def put_conv(flax_name, torch_name):
+        # OIHW → HWIO
+        put(params, f"{flax_name}/kernel", sd[torch_name].transpose(2, 3, 1, 0))
+
+    def put_bn(flax_name, torch_prefix):
+        put(params, f"{flax_name}/scale", sd[f"{torch_prefix}.weight"])
+        put(params, f"{flax_name}/bias", sd[f"{torch_prefix}.bias"])
+        put(stats, f"{flax_name}/mean", sd[f"{torch_prefix}.running_mean"])
+        put(stats, f"{flax_name}/var", sd[f"{torch_prefix}.running_var"])
+
+    put_conv("encoder0", "conv1.weight")
+    put_bn("bn0", "bn1")
+    for stage, (_, depth) in enumerate(RESNET34_LAYERS):
+        for i in range(depth):
+            t = f"layer{stage + 1}.{i}"
+            f = f"layer{stage + 1}_{i}"
+            put_conv(f"{f}/conv1", f"{t}.conv1.weight")
+            put_bn(f"{f}/bn1", f"{t}.bn1")
+            put_conv(f"{f}/conv2", f"{t}.conv2.weight")
+            put_bn(f"{f}/bn2", f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in sd:
+                put_conv(f"{f}/proj", f"{t}.downsample.0.weight")
+                put_bn(f"{f}/proj_bn", f"{t}.downsample.1")
+
+    new_vars = dict(variables)
+    new_vars["params"] = traverse_util.unflatten_dict(params, sep="/")
+    new_vars["batch_stats"] = traverse_util.unflatten_dict(stats, sep="/")
+    return new_vars

@@ -20,6 +20,13 @@ def main(argv=None):
 
     add_common_args(ap)
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument(
+        "--pretrained",
+        default=None,
+        metavar="RESNET34_PTH",
+        help="torchvision ResNet34 state-dict file to initialize the encoder "
+        "(the reference uses resnet34(pretrained=True), unet_resnet34.py:17)",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -53,6 +60,10 @@ def main(argv=None):
     model = UNetResNet34(cfg.num_classes)
     b0 = ds.sample_batch(cfg.batch_num)
     variables = jit_init(model, jnp.asarray(b0["images"]))
+    if args.pretrained:
+        from mvkpconv_tpu.models.unet2d import load_torch_resnet34_encoder
+
+        variables = load_torch_resnet34_encoder(variables, args.pretrained)
     tx = make_optimizer(cfg)
     state = create_train_state(variables, tx)
     apply_fn = make_apply_fn(model, cfg, "unet2d")
