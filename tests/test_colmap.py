@@ -54,6 +54,7 @@ def test_dense_array_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(got, depth)
 
 
+@pytest.mark.slow
 def test_load_colmap_scene_and_voting_cli(tmp_path, rng):
     """Fabricate a COLMAP workspace from a synthetic scene and run the
     end-to-end colmap test CLI with a freshly trained baseline."""

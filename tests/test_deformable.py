@@ -1,5 +1,6 @@
 """Deformable KPConv: forward, regularizer, training step."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -45,6 +46,7 @@ def _batch(cfg):
     return device_batch(ds.sample_batch())
 
 
+@pytest.mark.slow
 def test_deformable_forward_and_intermediates():
     cfg = deform_cfg()
     batch = _batch(cfg)

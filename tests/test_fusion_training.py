@@ -22,6 +22,11 @@ from mvkpconv_tpu.training.steps import (
 ARCH = ("simple", "resnetb_strided", "resnetb", "nearest_upsample", "unary")
 
 
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 def fusion_cfg(fusion):
     return KPConfig(
         architecture=ARCH,

@@ -1,5 +1,6 @@
 """KPCNN classification, 3D-only PN2 baseline CLI, convergence tool."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -35,6 +36,7 @@ def test_kpcnn_classification_forward(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_pn2_baseline_cli(tmp_path):
     from mvkpconv_tpu.tools import train_mvpnet
 

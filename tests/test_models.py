@@ -92,6 +92,7 @@ def test_kpfcnn_train_updates_batch_stats(rng):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+@pytest.mark.slow
 def test_kpfcnn_grad_flows(rng):
     cfg = tiny_config()
     pyr, feats = _pyramid_batch(rng, cfg)
@@ -117,6 +118,7 @@ def test_unet_resnet34_shapes(rng):
     assert out["feature"].shape == (2, 120, 160, 64)
 
 
+@pytest.mark.slow
 def test_pn2ssg_shapes(rng):
     model = PN2SSG(num_classes=6, num_centroids=(64, 16, 8, 4))
     pts = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
@@ -127,6 +129,7 @@ def test_pn2ssg_shapes(rng):
     assert np.isfinite(np.asarray(logits)).all()
 
 
+@pytest.mark.slow
 def test_mvpnet3d_forward(rng):
     b, v, h, w, n, k = 1, 2, 32, 48, 128, 3
     batch = {
@@ -143,6 +146,7 @@ def test_mvpnet3d_forward(rng):
     assert logits.shape == (b, n, 6)
 
 
+@pytest.mark.slow
 def test_mvpnet_frozen_2d_blocks_grads(rng):
     b, v, h, w, n, k = 1, 1, 16, 16, 64, 3
     batch = {

@@ -1,5 +1,6 @@
 """Modulated deformable KPConv (config.modulated=True path)."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -12,6 +13,7 @@ from mvkpconv_tpu.ops.pyramid import build_pyramid
 from mvkpconv_tpu.training.config import KPConfig
 
 
+@pytest.mark.slow
 def test_modulated_deformable_forward_and_params():
     cfg = KPConfig(
         architecture=("simple", "resnetb_deformable_strided", "resnetb_deformable",

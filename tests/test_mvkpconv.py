@@ -111,6 +111,7 @@ def test_unproject_depth_geometry():
     assert float(xyz2[0, 0, 1, 1, 0]) == 1e6
 
 
+@pytest.mark.slow
 def test_mvkpconv_frozen_2d(rng):
     cfg = fusion_config("late")
     batch, pyr = make_batch(rng, cfg)

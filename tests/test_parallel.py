@@ -1,5 +1,6 @@
 """Data-parallel sharding tests over the 8-device virtual CPU mesh."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -22,6 +23,7 @@ def test_mesh_shapes():
     assert mesh2.axis_names == ("data", "model")
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     cfg = KPConfig(
         num_points=(256, 64),

@@ -22,6 +22,11 @@ TINY = dict(
 )
 
 
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 def _write_cfg(tmp_path, **kw):
     cfg = KPConfig(**{**TINY, **kw})
     p = tmp_path / "params.txt"

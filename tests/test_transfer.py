@@ -24,6 +24,11 @@ TINY = dict(
 )
 
 
+
+import pytest as _pytest
+
+pytestmark = _pytest.mark.slow
+
 def test_train2d_then_fusion_with_path2d(tmp_path):
     from flax import serialization as ser
 
