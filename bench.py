@@ -64,19 +64,27 @@ def main():
 
     @jax.jit
     def timed(variables, batch):
-        # run the whole timed loop inside one XLA program: the dev
+        # Run the whole timed loop inside one XLA program (the dev
         # environment reaches the TPU through a relay whose round-trip
-        # latency would otherwise dominate per-call timings. The checksum
-        # carry prevents the loop from being elided.
+        # latency would otherwise dominate per-call timings), and CHAIN the
+        # iterations: each step's input is perturbed by the previous
+        # checksum, so XLA cannot hoist the loop-invariant body out of the
+        # loop (LICM would otherwise run the step once regardless of the
+        # trip count and inflate the result by `iters`×).
         def body(_, acc):
-            return acc + infer(variables, batch)
+            bt = dict(batch)
+            bt["points"] = batch["points"] + acc * 1e-20
+            return acc + infer(variables, bt)
 
         return jax.lax.fori_loop(0, iters, body, jnp.zeros((), jnp.float32))
 
     float(timed(variables, batch))  # warmup / compile
-    t0 = time.perf_counter()
-    float(timed(variables, batch))  # one dispatch, fully synced by the read
-    dt = (time.perf_counter() - t0) / iters
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        float(timed(variables, batch))  # one dispatch, synced by the read
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / iters
 
     points_per_batch = b * cfg.num_points[0]
     value = points_per_batch / dt
