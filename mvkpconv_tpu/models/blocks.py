@@ -87,7 +87,14 @@ def kpconv_apply(
     s_pad = jnp.concatenate(
         [s_pts, jnp.full_like(s_pts[:, :1], 1e6)], axis=1
     )  # shadow support point at +1e6 (blocks.py:277)
-    neighbors = group_points(s_pad, neighb_inds) - q_pts[:, :, None, :]
+    # ONE gather for positions ⊕ features: TPU gathers are start-bound and
+    # payload-size-insensitive, so fusing the two halves the gather cost
+    payload = jnp.concatenate(
+        [s_pad, pad_shadow_row(x.astype(s_pts.dtype))], axis=-1
+    )
+    gathered = group_points(payload, neighb_inds)
+    neighbors = gathered[..., :3] - q_pts[:, :, None, :]
+    nx_gathered = gathered[..., 3:]
 
     # Fast path: fused Pallas kernel for the rigid linear/sum configuration
     # (the production setting) — influence weights and per-KP weighted sums
@@ -105,7 +112,7 @@ def kpconv_apply(
         from mvkpconv_tpu.ops.pallas.kpconv import kpconv_fused, pallas_supported
 
         if pallas_supported():
-            nx = gather_neighbors(x, neighb_inds)
+            nx = nx_gathered
             m, cin, cout = weights.shape
             return kpconv_fused(
                 neighbors,
@@ -150,7 +157,7 @@ def kpconv_apply(
     elif aggregation != "sum":
         raise ValueError(f"unknown aggregation mode {aggregation!r}")
 
-    nx = gather_neighbors(x, neighb_inds)  # (B, Nq, K, Cin), shadow → 0
+    nx = nx_gathered  # (B, Nq, K, Cin), shadow → 0
     # weighted features per kernel point, then the big matmul
     wf = jnp.einsum(
         "bqkm,bqkc->bqmc",

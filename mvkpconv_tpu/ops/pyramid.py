@@ -27,7 +27,11 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
-from mvkpconv_tpu.ops.neighbors import knn, radius_neighbors
+from mvkpconv_tpu.ops.neighbors import (
+    bucketed_radius_neighbors,
+    knn,
+    radius_neighbors,
+)
 from mvkpconv_tpu.ops.sampling import grid_subsample
 
 
@@ -60,7 +64,10 @@ class PyramidSpec:
     conv_neighbors: Tuple[int, ...] = DEFAULT_CONV_NEIGHBORS
     pool_neighbors: Tuple[int, ...] = DEFAULT_POOL_NEIGHBORS
     deform_levels: Tuple[bool, ...] = ()  # per level: any deformable block?
-    neighbor_method: str = "exact"  # 'exact' | 'approx' (TPU approx_min_k)
+    # 'exact' (top_k sort) | 'approx' (TPU approx_min_k) | 'bucketed'
+    # (sorted rank-window candidate pruning + approx_min_k — the production
+    # TPU path, ~3-5× fewer distance pairs; see neighbors.py)
+    neighbor_method: str = "exact"
 
     @property
     def num_levels(self) -> int:
@@ -161,21 +168,27 @@ def build_pyramid(
             # conv (queries = level l) and pool (queries = level l+1) share
             # the same supports and radius — one fused selection call
             kp = spec.pool_neighbors[level]
-            both = radius_neighbors(
-                jnp.concatenate([p, sub.points], axis=1), p, r, max(kc, kp),
-                method=spec.neighbor_method,
-            )
+            q_both = jnp.concatenate([p, sub.points], axis=1)
+            if spec.neighbor_method == "bucketed":
+                both = bucketed_radius_neighbors(q_both, p, r, max(kc, kp))
+                up_idx = bucketed_radius_neighbors(p, sub.points, 2.0 * r, 1)
+            else:
+                both = radius_neighbors(
+                    q_both, p, r, max(kc, kp), method=spec.neighbor_method
+                )
+                up_idx, up_d2 = knn(p, sub.points, 1)
+                up_idx = jnp.where(
+                    up_d2 <= (2.0 * r) ** 2, up_idx, sub.points.shape[1]
+                ).astype(jnp.int32)
             neighbors.append(both[:, : p.shape[1], :kc])
             pools.append(both[:, p.shape[1] :, :kp])
-            up_idx, up_d2 = knn(p, sub.points, 1)
-            up_idx = jnp.where(
-                up_d2 <= (2.0 * r) ** 2, up_idx, sub.points.shape[1]
-            ).astype(jnp.int32)
             upsamples.append(up_idx)
         else:
-            neighbors.append(
-                radius_neighbors(p, p, r, kc, method=spec.neighbor_method)
-            )
+            method = spec.neighbor_method
+            if method == "bucketed":
+                neighbors.append(bucketed_radius_neighbors(p, p, r, kc))
+            else:
+                neighbors.append(radius_neighbors(p, p, r, kc, method=method))
     return Pyramid(
         points=tuple(pts),
         masks=tuple(msks),
