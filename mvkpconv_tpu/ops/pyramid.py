@@ -169,7 +169,12 @@ def build_pyramid(
             # the same supports and radius — one fused selection call
             kp = spec.pool_neighbors[level]
             q_both = jnp.concatenate([p, sub.points], axis=1)
-            if spec.neighbor_method == "bucketed":
+            if spec.neighbor_method == "pallas":
+                from mvkpconv_tpu.ops.pallas.neighbors import fused_radius_topk
+
+                both = fused_radius_topk(q_both, p, r, max(kc, kp))
+                up_idx = fused_radius_topk(p, sub.points, 2.0 * r, 1)
+            elif spec.neighbor_method == "bucketed":
                 both = bucketed_radius_neighbors(q_both, p, r, max(kc, kp))
                 up_idx = bucketed_radius_neighbors(p, sub.points, 2.0 * r, 1)
             else:
