@@ -88,6 +88,36 @@ def main():
 
     points_per_batch = b * cfg.num_points[0]
     value = points_per_batch / dt
+
+    # Host pipeline rate: real SphereDataset sampling (potential pick, frame
+    # selection, feature assembly, padding) on synthetic scenes at bench
+    # shapes. With the prefetch thread (data/prefetch.py) host and device
+    # run concurrently, so sustained end-to-end throughput is the slower of
+    # the two stages. (Dispatch timing through the dev relay would measure
+    # the tunnel's ~0.5 s RTT, not the design — real deployments dispatch in
+    # microseconds.)
+    from mvkpconv_tpu.data import SphereDataset, synthetic
+
+    scenes = []
+    for i in range(2):
+        scene = synthetic.make_scene(seed=i, num_points=120_000)
+        scene.update(
+            synthetic.render_views(
+                scene, 12, cfg.image_height, cfg.image_width, seed=i
+            )
+        )
+        scenes.append(scene)
+    ds = SphereDataset(scenes, cfg, training=False)
+    ds.sample_batch()  # warm caches
+    host_batches = 6
+    t0 = time.perf_counter()
+    for _ in range(host_batches):
+        hb = ds.sample_batch()
+    del hb
+    host_dt = (time.perf_counter() - t0) / host_batches
+    host_rate = points_per_batch / host_dt
+    sustained = min(value, host_rate)
+
     baseline = 1.0e5  # estimated reference points/sec (see module docstring)
     print(
         json.dumps(
@@ -96,6 +126,8 @@ def main():
                 "value": round(value, 1),
                 "unit": "points/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "host_pipeline_points_per_sec": round(host_rate, 1),
+                "host_inclusive_points_per_sec": round(sustained, 1),
             }
         )
     )

@@ -125,7 +125,7 @@ class SphereDataset:
                 pts, cols, lab = s["points"], s["colors"], s["labels"]
             scene = dict(s, points=pts, colors=cols, labels=lab)
             if "depth" in s:
-                scene["pixel_clouds"] = self._frame_pixel_clouds(s)
+                scene["rgbd_overlap"] = self._rgbd_overlap(scene)
             self.scenes.append(scene)
         # coarse potential grid per scene (dl = in_radius/10, :880)
         self.pot_points = []
@@ -160,20 +160,53 @@ class SphereDataset:
             clouds.append(world.astype(np.float32))
         return np.stack(clouds)  # (F, hw, 3)
 
+    def _rgbd_overlap(self, scene, n_base: int = 2048, overlap_radius: float = 0.1):
+        """One-off per-scene (base point, frame) coverage matrix.
+
+        Mirrors the reference's precomputed RGB-D overlap
+        (get_rgbd_overlap_subcloud.py:68-138: sample base points, mark those
+        with an unprojected pixel within 0.1 m per frame) so per-sphere frame
+        selection is a tiny greedy over base points instead of per-pixel
+        distance sweeps. Uses the native hash-grid 1-NN when available.
+        """
+        from mvkpconv_tpu.data.native import nearest_neighbor_1nn_native
+
+        clouds = self._frame_pixel_clouds(scene)  # (F, hw, 3)
+        pts = scene["points"]
+        sel = self.rng.choice(
+            len(pts), min(n_base, len(pts)), replace=False
+        )
+        base = pts[sel].astype(np.float32)
+        cols = []
+        for f in range(len(clouds)):
+            pix = clouds[f]
+            pix = pix[pix[:, 0] < SHADOW_COORD / 2]  # drop invalid-depth pixels
+            if len(pix) == 0:
+                cols.append(np.zeros(len(base), bool))
+                continue
+            res = nearest_neighbor_1nn_native(base, pix, cell=overlap_radius)
+            if res is None:
+                d2 = ((base[:, None] - pix[None]) ** 2).sum(-1).min(1)
+            else:
+                _, d2 = res
+            cols.append(d2 < overlap_radius**2)
+        return base, np.stack(cols)  # (nb, 3), (F, nb)
+
     def _select_frames(self, scene, center) -> np.ndarray:
         """Greedy max-coverage frame choice near the sphere center
-        (ScanNet_sphere_color.py:352-420 greedy select_frames)."""
-        clouds = scene["pixel_clouds"]  # (F, hw, 3)
-        r = self.cfg.in_radius
-        inside = np.linalg.norm(clouds - center, axis=-1) < r  # (F, hw)
+        (ScanNet_sphere_color.py:352-420 greedy select_frames over the
+        precomputed base-point overlap matrix)."""
+        base, overlap = scene["rgbd_overlap"]
+        inside = np.sum((base - center) ** 2, 1) < self.cfg.in_radius**2
+        ov = overlap[:, inside]  # (F, n_inside)
         chosen = []
-        covered = np.zeros(inside.shape[1], bool)
+        covered = np.zeros(ov.shape[1], bool)
         for _ in range(self.cfg.num_views):
-            gain = (inside & ~covered).sum(1)
+            gain = (ov & ~covered).sum(1)
             gain[chosen] = -1
             best = int(np.argmax(gain))
             chosen.append(best)
-            covered |= inside[best]
+            covered |= ov[best]
         return np.asarray(chosen)
 
     def _pick_center(self):
@@ -219,7 +252,7 @@ class SphereDataset:
         points = sphere_abs - center
 
         item = {"scene_index": si, "center": center, "point_indices": inds}
-        if "pixel_clouds" in scene:
+        if "rgbd_overlap" in scene:
             frames = self._select_frames(scene, center)
             item.update(
                 images=scene["rgb"][frames],

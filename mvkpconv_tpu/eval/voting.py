@@ -71,14 +71,29 @@ class VotingTester:
         max_batches: int = 10000,
         batch_size: Optional[int] = None,
         log_every: int = 0,
+        prefetch_depth: int = 2,
     ) -> Evaluator:
-        """Sweep spheres until min potential exceeds num_votes, then score."""
-        n = 0
-        while self.ds.min_potential() < self.num_votes and n < max_batches:
-            batch = self.ds.sample_batch(batch_size)
+        """Sweep spheres until min potential exceeds num_votes, then score.
+
+        Host sampling runs on a prefetch thread so the next sphere batch is
+        assembled while the device evaluates the current one (potentials are
+        updated at sample time, so the sweep-completion check already
+        accounts for in-flight batches)."""
+
+        def produce():
+            n = 0
+            while self.ds.min_potential() < self.num_votes and n < max_batches:
+                yield self.ds.sample_batch(batch_size)
+                n += 1
+
+        batches = produce()
+        if prefetch_depth > 0:
+            from mvkpconv_tpu.data.prefetch import prefetch
+
+            batches = prefetch(batches, depth=prefetch_depth)
+        for n, batch in enumerate(batches, 1):
             probs = np.asarray(self.predict_fn(device_batch(batch)))
             self._accumulate(batch, probs)
-            n += 1
             if log_every and n % log_every == 0:
                 print(
                     f"vote sweep: {n} batches, min potential "

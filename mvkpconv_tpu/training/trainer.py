@@ -67,10 +67,25 @@ class Trainer:
                 "resumed from step %d", int(np.asarray(restored.step))
             )
 
-    def fit(self, batches: Iterable, max_steps: Optional[int] = None):
-        """Run the training loop over an (in)finite batch iterator."""
+    def fit(
+        self,
+        batches: Iterable,
+        max_steps: Optional[int] = None,
+        prefetch_depth: int = 2,
+    ):
+        """Run the training loop over an (in)finite batch iterator.
+
+        The iterator is wrapped in a background prefetch thread so the next
+        host batch is assembled while the device runs (the reference's
+        10-worker DataLoader overlap, SURVEY §2.5); ``prefetch_depth=0``
+        disables it.
+        """
         self.kill_file.write_text(str(os.getpid()))
         max_steps = max_steps or self.cfg.max_epoch * self.cfg.epoch_steps
+        if prefetch_depth > 0:
+            from mvkpconv_tpu.data.prefetch import prefetch
+
+            batches = prefetch(batches, depth=prefetch_depth)
         t_data = time.time()
         for batch in batches:
             step = int(np.asarray(self.state.step))

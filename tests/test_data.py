@@ -144,3 +144,19 @@ def test_sphere_dataset_with_views():
     assert batch["depth"].shape == (2, v, h, w)
     assert batch["poses"].shape == (2, v, 4, 4)
     assert batch["features"].shape[-1] == 2  # 66 - 64
+
+
+def test_prefetch_iterator_order_and_errors():
+    from mvkpconv_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(iter(range(20)), depth=3)) == list(range(20))
+
+    def boom():
+        yield 1
+        raise RuntimeError("producer died")
+
+    it = prefetch(boom(), depth=1)
+    assert next(it) == 1
+    import pytest as _p
+    with _p.raises(RuntimeError, match="producer died"):
+        next(it)
