@@ -50,6 +50,14 @@ def calibrate_budgets(
     counts = [[] for _ in range(levels)]
     conv_counts = [[] for _ in range(levels)]
     pool_counts = [[] for _ in range(levels - 1)]
+    # budgets at the deform-WIDENED radii (deform_radius vs conv_radius) —
+    # the reference calibrates larger limits exactly where a layer is
+    # deformable (big_neighborhood_filter, datasets/common.py:411-421)
+    dconv_counts = [[] for _ in range(levels)]
+    dpool_counts = [[] for _ in range(levels - 1)]
+
+    def count_within(d2, r):
+        return np.quantile((d2 < r**2).sum(1), 0.99)
 
     for _ in range(num_spheres):
         item = dataset.sample_sphere()
@@ -58,29 +66,34 @@ def calibrate_budgets(
         for l in range(levels):
             p = level_pts[l]
             counts[l].append(len(p))
-            r = spec.radius(l)
+            rc = spec.cell_size(l) * spec.conv_radius
+            rd = spec.cell_size(l) * spec.deform_radius
             d2 = ((p[:, None] - p[None]) ** 2).sum(-1)
-            conv_counts[l].append(np.quantile((d2 < r**2).sum(1), 0.99))
+            conv_counts[l].append(count_within(d2, rc))
+            dconv_counts[l].append(count_within(d2, rd))
             if l + 1 < levels:
                 sub, _, _ = grid_subsample_np(
                     p, p, np.zeros(len(p), np.int32), spec.cell_size(l + 1), 1
                 )
                 d2p = ((sub[:, None] - p[None]) ** 2).sum(-1)
-                pool_counts[l].append(np.quantile((d2p < r**2).sum(1), 0.99))
+                pool_counts[l].append(count_within(d2p, rc))
+                dpool_counts[l].append(count_within(d2p, rd))
                 level_pts.append(sub)
+
+    def budget(per_level):
+        return tuple(
+            int(np.ceil(np.percentile(c, neighbor_percentile)))
+            for c in per_level
+        )
 
     num_points = tuple(
         _round_up(np.percentile(c, point_percentile), point_multiple)
         for c in counts
     )
-    conv = tuple(
-        int(np.ceil(np.percentile(c, neighbor_percentile))) for c in conv_counts
-    )
-    pool = tuple(
-        int(np.ceil(np.percentile(c, neighbor_percentile))) for c in pool_counts
-    )
     return {
         "num_points": num_points,
-        "conv_neighbors": conv,
-        "pool_neighbors": pool,
+        "conv_neighbors": budget(conv_counts),
+        "pool_neighbors": budget(pool_counts),
+        "deform_conv_neighbors": budget(dconv_counts),
+        "deform_pool_neighbors": budget(dpool_counts),
     }

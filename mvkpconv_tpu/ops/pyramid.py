@@ -46,6 +46,26 @@ def num_layers_from_architecture(architecture: Sequence[str]) -> int:
     return layers
 
 
+def deform_flags_from_architecture(architecture: Sequence[str]):
+    """(conv_flags, pool_flags) per level, reference semantics
+    (datasets/common.py:556-610): conv widened if any deformable block
+    convolves at the level; pool widened iff the strided block itself is
+    deformable."""
+    conv_flags, pool_flags = [], []
+    layer_blocks = []
+    for block in architecture:
+        if "upsample" in block or "global" in block:
+            break
+        if not ("pool" in block or "strided" in block):
+            layer_blocks.append(block)
+            continue
+        conv_flags.append(any("deform" in b for b in layer_blocks))
+        pool_flags.append("deform" in block)
+        layer_blocks = []
+    conv_flags.append(any("deform" in b for b in layer_blocks))
+    return tuple(conv_flags), tuple(pool_flags)
+
+
 # Default per-level neighbor budgets. The reference calibrates these as the
 # 90th-percentile neighbor counts (ScanNet_sphere_color.py:1272); these values
 # are in the range its calibration lands on for dl=0.04 / conv_radius=2.5.
@@ -63,10 +83,21 @@ class PyramidSpec:
     deform_radius: float = 6.0
     conv_neighbors: Tuple[int, ...] = DEFAULT_CONV_NEIGHBORS
     pool_neighbors: Tuple[int, ...] = DEFAULT_POOL_NEIGHBORS
-    deform_levels: Tuple[bool, ...] = ()  # per level: any deformable block?
+    # Per-level deform flags, mirroring the reference's input builder
+    # (datasets/common.py:556-610): the CONV radius is widened to
+    # deform_radius if any deformable block convolves at that level, while
+    # the POOL radius (and the 2× upsample radius derived from it) is
+    # widened only if the strided block itself is deformable.
+    deform_conv_levels: Tuple[bool, ...] = ()
+    deform_pool_levels: Tuple[bool, ...] = ()
+    # Optional per-level neighbor budgets used where the radius is
+    # deform-widened (the reference calibrates larger limits there,
+    # datasets/common.py:411-421); None falls back to conv/pool_neighbors.
+    deform_conv_neighbors: Optional[Tuple[int, ...]] = None
+    deform_pool_neighbors: Optional[Tuple[int, ...]] = None
     # 'exact' (top_k sort) | 'approx' (TPU approx_min_k) | 'bucketed'
-    # (sorted rank-window candidate pruning + approx_min_k — the production
-    # TPU path, ~3-5× fewer distance pairs; see neighbors.py)
+    # (sorted rank-window candidate pruning + approx_min_k) | 'pallas'
+    # (fused VMEM selection kernel, opt-in — see ops/pallas/neighbors.py)
     neighbor_method: str = "exact"
 
     @property
@@ -76,11 +107,42 @@ class PyramidSpec:
     def cell_size(self, level: int) -> float:
         return self.first_subsampling_dl * (2.0**level)
 
+    def _deform(self, flags, level: int) -> bool:
+        return bool(flags) and level < len(flags) and flags[level]
+
     def radius(self, level: int) -> float:
-        r = self.cell_size(level) * self.conv_radius
-        if self.deform_levels and level < len(self.deform_levels) and self.deform_levels[level]:
-            r = self.cell_size(level) * self.deform_radius
-        return r
+        """Conv-neighbor radius at ``level``."""
+        mult = (
+            self.deform_radius
+            if self._deform(self.deform_conv_levels, level)
+            else self.conv_radius
+        )
+        return self.cell_size(level) * mult
+
+    def pool_radius(self, level: int) -> float:
+        """Pool-neighbor radius at ``level`` (queries = level+1)."""
+        mult = (
+            self.deform_radius
+            if self._deform(self.deform_pool_levels, level)
+            else self.conv_radius
+        )
+        return self.cell_size(level) * mult
+
+    def conv_k(self, level: int) -> int:
+        if (
+            self._deform(self.deform_conv_levels, level)
+            and self.deform_conv_neighbors is not None
+        ):
+            return self.deform_conv_neighbors[level]
+        return self.conv_neighbors[level]
+
+    def pool_k(self, level: int) -> int:
+        if (
+            self._deform(self.deform_pool_levels, level)
+            and self.deform_pool_neighbors is not None
+        ):
+            return self.deform_pool_neighbors[level]
+        return self.pool_neighbors[level]
 
     @staticmethod
     def for_architecture(
@@ -101,17 +163,7 @@ class PyramidSpec:
         for _ in range(levels):
             pts.append(max(int(n), 8))
             n = n / subsample_ratio
-        deform = []
-        layer, has_deform = 0, False
-        for block in architecture:
-            if "upsample" in block or "global" in block:
-                break
-            has_deform = has_deform or ("deform" in block)
-            if "pool" in block or "strided" in block:
-                deform.append(has_deform)
-                has_deform = False
-                layer += 1
-        deform.append(has_deform)
+        conv_flags, pool_flags = deform_flags_from_architecture(architecture)
         return PyramidSpec(
             num_points=tuple(pts),
             first_subsampling_dl=first_subsampling_dl,
@@ -119,7 +171,8 @@ class PyramidSpec:
             deform_radius=deform_radius,
             conv_neighbors=conv_neighbors or DEFAULT_CONV_NEIGHBORS[:levels],
             pool_neighbors=pool_neighbors or DEFAULT_POOL_NEIGHBORS[: levels - 1],
-            deform_levels=tuple(deform),
+            deform_conv_levels=conv_flags,
+            deform_pool_levels=pool_flags,
         )
 
 
@@ -155,45 +208,55 @@ def build_pyramid(
         )
     pts, msks = [points], [mask]
     neighbors, pools, upsamples = [], [], []
+    def select(queries, supports, radius, k):
+        method = spec.neighbor_method
+        if method == "pallas":
+            from mvkpconv_tpu.ops.pallas.neighbors import fused_radius_topk
+
+            return fused_radius_topk(queries, supports, radius, k)
+        if method == "bucketed":
+            return bucketed_radius_neighbors(queries, supports, radius, k)
+        return radius_neighbors(queries, supports, radius, k, method=method)
+
     for level in range(spec.num_levels):
         p, m = pts[level], msks[level]
-        r = spec.radius(level)
-        kc = spec.conv_neighbors[level]
+        rc = spec.radius(level)
+        kc = spec.conv_k(level)
         if level + 1 < spec.num_levels:
             sub = grid_subsample(
                 p, spec.cell_size(level + 1), spec.num_points[level + 1], mask=m
             )
             pts.append(sub.points)
             msks.append(sub.mask)
-            # conv (queries = level l) and pool (queries = level l+1) share
-            # the same supports and radius — one fused selection call
-            kp = spec.pool_neighbors[level]
-            q_both = jnp.concatenate([p, sub.points], axis=1)
-            if spec.neighbor_method == "pallas":
-                from mvkpconv_tpu.ops.pallas.neighbors import fused_radius_topk
-
-                both = fused_radius_topk(q_both, p, r, max(kc, kp))
-                up_idx = fused_radius_topk(p, sub.points, 2.0 * r, 1)
-            elif spec.neighbor_method == "bucketed":
-                both = bucketed_radius_neighbors(q_both, p, r, max(kc, kp))
-                up_idx = bucketed_radius_neighbors(p, sub.points, 2.0 * r, 1)
-            else:
-                both = radius_neighbors(
-                    q_both, p, r, max(kc, kp), method=spec.neighbor_method
+            rp = spec.pool_radius(level)
+            kp = spec.pool_k(level)
+            if rc == rp:
+                # conv (queries = level l) and pool (queries = level l+1)
+                # share supports and radius — one fused selection call
+                both = select(
+                    jnp.concatenate([p, sub.points], axis=1), p, rc, max(kc, kp)
                 )
+                conv_i = both[:, : p.shape[1], :kc]
+                pool_i = both[:, p.shape[1] :, :kp]
+            else:
+                # mixed deform layer: conv and pool radii differ
+                # (datasets/common.py:572-601)
+                conv_i = select(p, p, rc, kc)
+                pool_i = select(sub.points, p, rp, kp)
+            # upsample: 1-NN into level l+1 within 2× the POOL radius
+            # (common.py:608-610 — "radius of the next layer")
+            if spec.neighbor_method in ("pallas", "bucketed"):
+                up_idx = select(p, sub.points, 2.0 * rp, 1)
+            else:
                 up_idx, up_d2 = knn(p, sub.points, 1)
                 up_idx = jnp.where(
-                    up_d2 <= (2.0 * r) ** 2, up_idx, sub.points.shape[1]
+                    up_d2 <= (2.0 * rp) ** 2, up_idx, sub.points.shape[1]
                 ).astype(jnp.int32)
-            neighbors.append(both[:, : p.shape[1], :kc])
-            pools.append(both[:, p.shape[1] :, :kp])
+            neighbors.append(conv_i)
+            pools.append(pool_i)
             upsamples.append(up_idx)
         else:
-            method = spec.neighbor_method
-            if method == "bucketed":
-                neighbors.append(bucketed_radius_neighbors(p, p, r, kc))
-            else:
-                neighbors.append(radius_neighbors(p, p, r, kc, method=method))
+            neighbors.append(select(p, p, rc, kc))
     return Pyramid(
         points=tuple(pts),
         masks=tuple(msks),

@@ -115,6 +115,12 @@ class KPConfig:
     num_points: Tuple[int, ...] = (16384, 4096, 1024, 256, 128)
     conv_neighbors: Tuple[int, ...] = (34, 34, 34, 34, 34)
     pool_neighbors: Tuple[int, ...] = (34, 34, 34, 34)
+    # per-level budgets at deform-widened radii (deform_radius vs conv_radius
+    # — the reference calibrates larger limits on deformable layers,
+    # datasets/common.py:411-421); empty = reuse conv/pool_neighbors.
+    # data/calibration.py emits these for architectures with deform blocks.
+    deform_conv_neighbors: Tuple[int, ...] = ()
+    deform_pool_neighbors: Tuple[int, ...] = ()
     # 'approx' = TPU-native approx_min_k neighbor selection (fast; safe where
     # the reference already truncates neighbor lists); 'exact' = full top-k.
     neighbor_method: str = "approx"
@@ -134,19 +140,13 @@ class KPConfig:
         return num_layers_from_architecture(self.architecture)
 
     def pyramid_spec(self):
-        from mvkpconv_tpu.ops.pyramid import PyramidSpec
+        from mvkpconv_tpu.ops.pyramid import (
+            PyramidSpec,
+            deform_flags_from_architecture,
+        )
 
         levels = self.num_layers
-        deform = []
-        has_deform = False
-        for block in self.architecture:
-            if "upsample" in block or "global" in block:
-                break
-            has_deform = has_deform or ("deform" in block)
-            if "pool" in block or "strided" in block:
-                deform.append(has_deform)
-                has_deform = False
-        deform.append(has_deform)
+        conv_flags, pool_flags = deform_flags_from_architecture(self.architecture)
         return PyramidSpec(
             num_points=tuple(self.num_points[:levels]),
             first_subsampling_dl=self.first_subsampling_dl,
@@ -154,7 +154,18 @@ class KPConfig:
             deform_radius=self.deform_radius,
             conv_neighbors=tuple(self.conv_neighbors[:levels]),
             pool_neighbors=tuple(self.pool_neighbors[: levels - 1]),
-            deform_levels=tuple(deform),
+            deform_conv_levels=conv_flags,
+            deform_pool_levels=pool_flags,
+            deform_conv_neighbors=(
+                tuple(self.deform_conv_neighbors[:levels])
+                if self.deform_conv_neighbors
+                else None
+            ),
+            deform_pool_neighbors=(
+                tuple(self.deform_pool_neighbors[: levels - 1])
+                if self.deform_pool_neighbors
+                else None
+            ),
             neighbor_method=self.neighbor_method,
         )
 

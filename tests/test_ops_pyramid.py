@@ -92,3 +92,74 @@ def test_pyramid_is_jittable(rng):
     np.testing.assert_allclose(
         np.asarray(pyr.points[1]), np.asarray(pyr2.points[1]), rtol=1e-6
     )
+
+
+def test_deform_conv_pool_flags_and_radii():
+    """Reference semantics (datasets/common.py:556-610): conv radius widened
+    by any deformable block in the layer; pool radius only by a deformable
+    STRIDED block; upsample threshold follows the pool radius."""
+    from mvkpconv_tpu.ops.pyramid import deform_flags_from_architecture
+
+    arch = (
+        "simple",
+        "resnetb_deformable",     # layer 0 conv deform
+        "resnetb_strided",        # layer 0 strided RIGID → pool 0 rigid
+        "resnetb",
+        "resnetb_deformable_strided",  # layer 1 strided deform → pool 1 deform
+        "resnetb_deformable",     # layer 2 conv deform
+        "nearest_upsample",
+        "unary",
+    )
+    conv_flags, pool_flags = deform_flags_from_architecture(arch)
+    assert conv_flags == (True, False, True)
+    assert pool_flags == (False, True)
+
+    spec = PyramidSpec(
+        num_points=(256, 64, 32),
+        first_subsampling_dl=0.1,
+        conv_radius=2.5,
+        deform_radius=6.0,
+        conv_neighbors=(10, 10, 10),
+        pool_neighbors=(10, 10),
+        deform_conv_levels=conv_flags,
+        deform_pool_levels=pool_flags,
+        deform_conv_neighbors=(24, 24, 24),
+        deform_pool_neighbors=(24, 24),
+    )
+    assert spec.radius(0) == 0.1 * 6.0          # conv widened
+    assert spec.pool_radius(0) == 0.1 * 2.5     # pool rigid
+    assert spec.radius(1) == 0.2 * 2.5
+    assert spec.pool_radius(1) == 0.2 * 6.0     # deformable strided
+    assert spec.conv_k(0) == 24 and spec.pool_k(0) == 10
+    assert spec.conv_k(1) == 10 and spec.pool_k(1) == 24
+
+
+def test_deform_level_neighbor_recall(rng):
+    """A deformable level's conv rows must contain the full in-deform-radius
+    neighbor set (given a calibrated deform budget), pool rows the rigid set."""
+    n = 512
+    pts = rng.rand(1, n, 3).astype(np.float32) * 1.2 - 0.6
+    spec = PyramidSpec(
+        num_points=(n, 128),
+        first_subsampling_dl=0.1,
+        conv_radius=2.5,
+        deform_radius=6.0,
+        conv_neighbors=(16, 16),
+        pool_neighbors=(16,),
+        deform_conv_levels=(True, False),
+        deform_pool_levels=(False,),
+        deform_conv_neighbors=(96, 96),
+        neighbor_method="exact",
+    )
+    pyr = build_pyramid(jnp.asarray(pts), jnp.ones((1, n), bool), spec)
+    assert pyr.neighbors[0].shape[-1] == 96  # deform budget applied
+    assert pyr.pools[0].shape[-1] == 16
+    rd = 0.1 * 6.0
+    d2 = ((pts[0][:, None] - pts[0][None]) ** 2).sum(-1)
+    conv = np.asarray(pyr.neighbors[0][0])
+    for i in range(0, n, 13):
+        want = set(np.flatnonzero(d2[i] < rd**2))
+        got = set(conv[i][conv[i] < n])
+        missing = want - got
+        # rows with more in-radius neighbors than the budget may truncate
+        assert not missing or len(want) > 96, (i, len(want), len(missing))
