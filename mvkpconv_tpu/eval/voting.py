@@ -114,6 +114,32 @@ class VotingTester:
             ev.update(pred, scene["labels"])
         return ev
 
+    def save_artifacts(self, out_dir, prefix: str = "") -> None:
+        """Dump per-scene prediction and potentials PLYs (tester.py:320-365:
+        predictions/probs plys every vote milestone, potentials clouds)."""
+        from pathlib import Path
+
+        from mvkpconv_tpu.utils.visualize import (
+            save_potentials_ply,
+            save_prediction_ply,
+        )
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for i, (scene, probs) in enumerate(zip(self.ds.scenes, self.probs)):
+            name = scene.get("scan_id", f"scene{i:03d}")
+            save_prediction_ply(
+                out / f"{prefix}{name}_pred.ply",
+                scene["points"],
+                probs.argmax(-1),
+                scene.get("labels"),
+            )
+            save_potentials_ply(
+                out / f"{prefix}{name}_potentials.ply",
+                self.ds.pot_points[i],
+                self.ds.potentials[i],
+            )
+
     def score_reprojected(
         self, full_scenes: Sequence[Dict[str, np.ndarray]]
     ) -> Evaluator:
@@ -137,10 +163,13 @@ def validation_sweep(
     val_proportions: Optional[np.ndarray] = None,
     smooth: float = 0.95,
     ignore_label: int = -1,
+    artifact_dir=None,
 ) -> Dict[str, float]:
     """Training-time validation (trainer.py:283-537): a bounded sphere sweep
     with smoothed probs, confusion optionally rescaled to the true class
-    proportions, returning mIoU."""
+    proportions, returning mIoU. With ``artifact_dir``, also dumps the
+    prediction/potentials PLYs the reference writes during validation
+    (trainer.py:483-517)."""
     tester = VotingTester(
         dataset, predict_fn, num_classes, num_votes=np.inf, smooth=smooth,
         ignore_label=ignore_label,
@@ -149,6 +178,8 @@ def validation_sweep(
         batch = dataset.sample_batch()
         probs = np.asarray(predict_fn(device_batch(batch)))
         tester._accumulate(batch, probs)
+    if artifact_dir is not None:
+        tester.save_artifacts(artifact_dir)
     conf = tester.score().confusion
     if val_proportions is not None:
         conf = rescale_confusion_to_proportions(conf, val_proportions)

@@ -81,6 +81,10 @@ def main(argv=None):
                           ignore_label=cfg.ignore_label)
     ev = tester.run(log_every=20)
     print(ev.table())
+    # prediction + potentials PLYs, like the reference's test artifact dumps
+    # (tester.py:320-365)
+    tester.save_artifacts(run / "test_preds")
+    print(f"prediction/potentials plys written to {run / 'test_preds'}")
     full = tester.score_reprojected(scenes)
     print(f"\nfull-resolution mIoU {full.miou:.4f}  OA {full.overall_accuracy:.4f}")
 

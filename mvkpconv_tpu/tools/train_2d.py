@@ -71,8 +71,10 @@ def main(argv=None):
     eval_step = make_eval_step(apply_fn, cfg)
 
     def eval_fn(st):
+        from mvkpconv_tpu.utils.visualize import save_2d_panel
+
         conf = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
-        for _ in range(4):
+        for i in range(4):
             vb = val_ds.sample_batch(cfg.batch_num)
             probs = np.asarray(eval_step(st, {k: jnp.asarray(v) for k, v in vb.items()}))
             conf += np.asarray(
@@ -81,8 +83,16 @@ def main(argv=None):
                     cfg.num_classes, ignore_label=cfg.ignore_label,
                 )
             )
+            if i == 0:
+                # image | gt | prediction panel, like the reference's TB
+                # image summaries (train_2d.py:209-228)
+                step = int(np.asarray(st.step))
+                save_2d_panel(
+                    f"{args.output}/panels/step{step:06d}.png",
+                    vb["images"][0], vb["labels"][0], probs[0].argmax(-1),
+                )
         iou = iou_from_confusion(conf)
-        return {"miou": float(iou.mean())}
+        return {"miou": float(iou.mean()), "class_iou": iou}
 
     trainer = Trainer(step, state, args.output, cfg, eval_fn=eval_fn)
     trainer.maybe_resume()

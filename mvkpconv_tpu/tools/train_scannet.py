@@ -12,6 +12,7 @@ Examples:
 from __future__ import annotations
 
 import argparse
+from pathlib import Path
 
 import numpy as np
 
@@ -113,6 +114,7 @@ def main(argv=None):
             cfg.num_classes,
             num_batches=max(cfg.validation_size // cfg.batch_num, 1),
             ignore_label=cfg.ignore_label,
+            artifact_dir=Path(args.output) / "val_preds",
         )
 
     trainer = Trainer(step, state, args.output, cfg, eval_fn=eval_fn)

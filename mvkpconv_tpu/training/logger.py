@@ -71,6 +71,40 @@ class MetricLogger:
         )
 
 
+class ScalarLog:
+    """Append-only ``scalars.jsonl``: one ``{"step", "tag", "value"}`` object
+    per line — the TensorBoard-scalars equivalent for this repo (the
+    reference logs train/val scalars to TB, mvpnet/train_2d.py:112-117);
+    trivially convertible to TB events or pandas."""
+
+    def __init__(self, directory, filename: str = "scalars.jsonl"):
+        self.path = Path(directory) / filename
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def log(self, step: int, **scalars):
+        import json
+
+        with self.path.open("a") as f:
+            for tag, value in scalars.items():
+                f.write(json.dumps(
+                    {"step": int(step), "tag": tag, "value": float(value)}
+                ) + "\n")
+
+
+class ValIoULog:
+    """Per-class IoU log, one line per validation — the reference's
+    ``val_IoUs.txt`` (utils/trainer.py:445-452), consumed by
+    plot_convergence."""
+
+    def __init__(self, directory, filename: str = "val_IoUs.txt"):
+        self.path = Path(directory) / filename
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def append(self, class_ious):
+        with self.path.open("a") as f:
+            f.write(" ".join(f"{float(v):.6f}" for v in class_ious) + "\n")
+
+
 class TrainingLog:
     """Append-only ``training.txt`` in the reference's column format:
     ``epochs steps out_loss offset_loss train_accuracy time``."""

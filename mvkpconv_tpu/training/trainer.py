@@ -26,7 +26,13 @@ import numpy as np
 
 from mvkpconv_tpu.parallel import shard_batch
 from mvkpconv_tpu.training.checkpoint import Checkpointer
-from mvkpconv_tpu.training.logger import MetricLogger, TrainingLog, setup_logger
+from mvkpconv_tpu.training.logger import (
+    MetricLogger,
+    ScalarLog,
+    TrainingLog,
+    ValIoULog,
+    setup_logger,
+)
 
 
 class Trainer:
@@ -52,6 +58,8 @@ class Trainer:
         self.logger = setup_logger(output_dir=str(self.output_dir))
         self.meters = MetricLogger()
         self.training_log = TrainingLog(self.output_dir)
+        self.scalar_log = ScalarLog(self.output_dir)
+        self.val_iou_log = ValIoULog(self.output_dir)
         self.checkpointer = Checkpointer(self.output_dir / "checkpoints", max_to_keep)
         self.log_period = log_period
         self.val_period = val_period or cfg.epoch_steps
@@ -106,6 +114,9 @@ class Trainer:
             epoch = step // self.cfg.epoch_steps
             if step % self.log_period == 0:
                 self.logger.info("step %d (epoch %d): %s", step, epoch, self.meters)
+                self.scalar_log.log(
+                    step, data_time=data_time, step_time=step_time, **stats
+                )
             self.training_log.append(
                 epoch, step, stats.get("loss", 0.0), stats.get("offset_loss", 0.0),
                 stats.get("accuracy", 0.0),
@@ -125,6 +136,17 @@ class Trainer:
             metric = self.eval_fn(self.state)
             self.logger.info("validation @ step %d: %s", step, metric)
             if isinstance(metric, dict):
+                if "class_iou" in metric:
+                    # reference's per-class val_IoUs.txt (trainer.py:445-452)
+                    self.val_iou_log.append(metric["class_iou"])
+                self.scalar_log.log(
+                    step,
+                    **{
+                        f"val_{k}": v
+                        for k, v in metric.items()
+                        if np.ndim(v) == 0
+                    },
+                )
                 metric = metric.get("miou", metric.get("accuracy"))
         is_best = metric is not None and metric > self.best_metric
         if is_best:

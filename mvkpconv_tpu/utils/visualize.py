@@ -53,3 +53,22 @@ def save_potentials_ply(path, points: np.ndarray, potentials: np.ndarray) -> Non
         [np.asarray(points, np.float32), np.asarray(potentials, np.float32)],
         ["x", "y", "z", "pots"],
     )
+
+
+def save_2d_panel(path, image: np.ndarray, gt: np.ndarray, pred: np.ndarray) -> None:
+    """Side-by-side (input | ground truth | prediction) PNG panel — the
+    repo's equivalent of the reference's TensorBoard image summaries
+    (mvpnet/train_2d.py:209-228 ``add_image`` panels).
+
+    Args:
+      image: (H, W, 3) float in [0, 1]; gt/pred: (H, W) int train ids.
+    """
+    from PIL import Image
+
+    img = (np.clip(np.asarray(image), 0, 1) * 255).astype(np.uint8)
+    h, w = img.shape[:2]
+    gt_rgb = labels_to_colors(np.asarray(gt).reshape(-1)).reshape(h, w, 3)
+    pr_rgb = labels_to_colors(np.asarray(pred).reshape(-1)).reshape(h, w, 3)
+    panel = np.concatenate([img, gt_rgb, pr_rgb], axis=1)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(panel).save(str(path))
