@@ -99,7 +99,12 @@ class KPConfig:
     grad_clip_value: float = 100.0  # reference clips grad VALUES at 100
     batch_num: int = 5  # spheres per device batch
     class_weights: Optional[Tuple[float, ...]] = None
+    # 'none' | 'class': inverse in-batch class-frequency reweighting when no
+    # explicit class_weights are set (config.py:202 segloss_balance)
     segloss_balance: str = "none"
+    # target smoothing ε (common/nn/functional.py smooth_cross_entropy;
+    # mvpnet cfg TRAIN.LABEL_SMOOTHING)
+    label_smoothing: float = 0.0
 
     # ----- augmentation -----
     augment_scale_anisotropic: bool = True

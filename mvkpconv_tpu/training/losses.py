@@ -21,6 +21,8 @@ def segmentation_cross_entropy(
     mask: Optional[jnp.ndarray] = None,
     class_weights: Optional[jnp.ndarray] = None,
     ignore_label: int = -1,
+    label_smoothing: float = 0.0,
+    balance: str = "none",
 ) -> jnp.ndarray:
     """Mean cross-entropy over valid, non-ignored points.
 
@@ -28,18 +30,37 @@ def segmentation_cross_entropy(
       logits: (..., C) float.
       labels: (...) int, values in [0, C) or ``ignore_label``.
       mask: optional (...) bool validity (padding) mask.
-      class_weights: optional (C,) per-class weights.
+      class_weights: optional (C,) per-class weights (the reference's
+        ``config.class_w`` weighted CE, architectures.py:307-311).
+      label_smoothing: smooth the one-hot target to
+        ``(1−ε)·onehot + ε/C`` (common/nn/functional.py:100-119
+        ``smooth_cross_entropy``).
+      balance: 'none' | 'class' — the reference's ``segloss_balance``
+        switch; 'class' reweights by inverse in-batch class frequency
+        (total/(C·count)) when no explicit ``class_weights`` are given.
 
     Returns:
       scalar loss.
     """
+    c = logits.shape[-1]
     valid = labels != ignore_label
     if mask is not None:
         valid = valid & mask
     safe_labels = jnp.clip(labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * (
+            -jnp.mean(logp, axis=-1)
+        )
     w = valid.astype(jnp.float32)
+    if class_weights is None and balance == "class":
+        counts = jnp.sum(
+            jax.nn.one_hot(safe_labels, c) * w[..., None],
+            axis=tuple(range(w.ndim)),
+        )
+        total = jnp.maximum(jnp.sum(counts), 1.0)
+        class_weights = total / (c * jnp.maximum(counts, 1.0))
     if class_weights is not None:
         w = w * jnp.asarray(class_weights)[safe_labels]
     return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1.0)

@@ -108,6 +108,8 @@ def make_train_step(
                 if cfg.class_weights is not None
                 else None,
                 ignore_label=cfg.ignore_label,
+                label_smoothing=getattr(cfg, "label_smoothing", 0.0),
+                balance=getattr(cfg, "segloss_balance", "none"),
             )
             if has_deform:
                 from mvkpconv_tpu.training.losses import deform_regularization

@@ -152,3 +152,35 @@ def test_frozen_params_not_updated(scenes):
             jax.tree_util.tree_leaves(before_enc),
         )
     )
+
+
+def test_label_smoothing_and_class_balance(rng):
+    """smooth_cross_entropy semantics + segloss_balance='class' reweighting."""
+    from mvkpconv_tpu.training.losses import segmentation_cross_entropy
+
+    n, c = 64, 5
+    logits = jnp.asarray(rng.randn(n, c), jnp.float32)
+    labels = jnp.asarray(rng.randint(0, c, n), jnp.int32)
+
+    # numpy oracle of the reference's smooth CE (functional.py:100-119)
+    lp = np.asarray(jax.nn.log_softmax(logits, -1))
+    eps = 0.2
+    onehot = np.eye(c)[np.asarray(labels)]
+    smooth = onehot * (1 - eps) + eps / c
+    want = float((-smooth * lp).sum(1).mean())
+    got = float(segmentation_cross_entropy(logits, labels, label_smoothing=eps))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # class balance: per-class mean contributions become equal for a batch
+    # with skewed counts — loss equals the mean over per-class mean NLLs
+    skew = jnp.asarray([0] * 60 + [1, 2, 3, 4], jnp.int32)
+    nll = -np.take_along_axis(lp, np.asarray(skew)[:, None], 1)[:, 0]
+    per_class = [nll[np.asarray(skew) == k].mean() for k in range(c)]
+    want_b = float(np.mean(per_class))
+    got_b = float(segmentation_cross_entropy(logits, skew, balance="class"))
+    np.testing.assert_allclose(got_b, want_b, rtol=1e-5)
+
+    # ignore labels excluded either way
+    lab2 = labels.at[:10].set(-1)
+    base = float(segmentation_cross_entropy(logits, lab2))
+    assert np.isfinite(base)
