@@ -278,6 +278,10 @@ class SphereDataset:
             features=padded(features),
             labels=padded(labels, cfg.ignore_label),
         )
+        if "feature_2d3d" in scene:
+            # precomputed whole-scene lifted 2D features, sliced per sphere
+            # (the ScanNet_new.py:413-417 input_inds route)
+            item["feature_2d3d"] = padded(scene["feature_2d3d"][inds])
         return item
 
     @staticmethod

@@ -136,7 +136,15 @@ class MVKPConv(nn.Module):
     def __call__(self, batch: Dict[str, jnp.ndarray], pyr: Pyramid, train: bool = False):
         cfg = self.cfg
         points0 = pyr.points[0]
-        feat_2d3d = self.lift_2d_features(batch, points0, train)
+        if "feature_2d3d" in batch:
+            # precomputed whole-scene route (architectures_new.py:273-278 /
+            # eval/precompute.py): lifted features come from the dataset,
+            # the 2D net does not run in-graph
+            feat_2d3d = jax.lax.stop_gradient(
+                batch["feature_2d3d"].astype(jnp.float32)
+            )
+        else:
+            feat_2d3d = self.lift_2d_features(batch, points0, train)
         base = batch["features"]
 
         if cfg.fusion == "early":
