@@ -47,6 +47,7 @@ class Trainer:
         log_period: int = 50,
         val_period: int = 0,  # 0 = once per epoch
         max_to_keep: int = 5,
+        profile_steps: int = 0,  # capture a profiler trace of steps [2, 2+N)
     ):
         self.train_step = train_step
         self.state = state
@@ -65,7 +66,32 @@ class Trainer:
         self.val_period = val_period or cfg.epoch_steps
         self.best_metric = -np.inf
         self.kill_file = self.output_dir / "running_PID.txt"
+        self.profile_steps = profile_steps
+        self._profiling = False
         cfg.save(self.output_dir / "parameters.txt")
+
+    def _maybe_profile(self, local_step: int):
+        """Capture a jax.profiler trace (XPlane, viewable in TB/xprof) over
+        a few post-warmup steps — the structured-profiling capability the
+        reference only approximates with wall-clock meters (SURVEY §5).
+        Best-effort: profiling may be unavailable through device relays."""
+        if not self.profile_steps:
+            return
+        try:
+            if local_step == 2 and not self._profiling:
+                jax.profiler.start_trace(str(self.output_dir / "profile"))
+                self._profiling = True
+            elif self._profiling and local_step >= 2 + self.profile_steps:
+                jax.profiler.stop_trace()
+                self._profiling = False
+                self.profile_steps = 0
+                self.logger.info(
+                    "profiler trace written to %s", self.output_dir / "profile"
+                )
+        except Exception as e:  # relay backends may not support tracing
+            self.logger.warning("profiler capture unavailable: %s", e)
+            self.profile_steps = 0
+            self._profiling = False
 
     def maybe_resume(self):
         restored = self.checkpointer.restore(jax.device_get(self.state))
@@ -95,10 +121,13 @@ class Trainer:
 
             batches = prefetch(batches, depth=prefetch_depth)
         t_data = time.time()
+        local_step = 0
         for batch in batches:
             step = int(np.asarray(self.state.step))
             if step >= max_steps:
                 break
+            self._maybe_profile(local_step)
+            local_step += 1
             if not self.kill_file.exists():  # graceful stop (trainer.py:133-137)
                 self.logger.info("kill file removed — stopping gracefully")
                 break

@@ -112,3 +112,55 @@ def test_sens_reader_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(got_pose, pose)
     assert got_color == color_bytes
     np.testing.assert_allclose(got_depth, depth.astype(np.float32) / 1000.0)
+
+
+def test_load_frames_raw_id_labels(tmp_path):
+    """Raw-ScanNet-id 2D label pngs must go raw→nyu40 (TSV) →train, and the
+    nyu40-only path must REJECT ids > 40 instead of silently corrupting
+    supervision (scannet_2d.py:86-104 composition)."""
+    from PIL import Image
+
+    from mvkpconv_tpu.data.meta import NYU40_EVAL_IDS
+
+    frames = tmp_path / "frames"
+    for sub in ("color", "depth", "pose", "intrinsic"):
+        (frames / sub).mkdir(parents=True)
+    h, w = 8, 10
+    Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(frames / "color" / "0.jpg")
+    Image.fromarray(np.full((h, w), 1000, np.uint16)).save(frames / "depth" / "0.png")
+    np.savetxt(frames / "pose" / "0.txt", np.eye(4))
+    np.savetxt(frames / "intrinsic" / "intrinsic_depth.txt", np.eye(4))
+
+    # raw ids: 1 -> nyu40 1 (wall, train 0); 1163 -> nyu40 40 (otherprop,
+    # ignored); 7 -> nyu40 5 (chair-ish, mapped)
+    raw = np.zeros((h, w), np.uint16)
+    raw[0] = 1
+    raw[1] = 1163
+    raw[2] = 7
+    labels_dir = tmp_path / "label"
+    labels_dir.mkdir()
+    Image.fromarray(raw).save(labels_dir / "0.png")
+    tsv = tmp_path / "labels.tsv"
+    tsv.write_text(
+        "id\traw_category\tcategory\tnyu40id\n"
+        "1\twall\twall\t1\n"
+        "7\tchair\tchair\t5\n"
+        "1163\tobject\tobject\t40\n"
+    )
+
+    out = scannet_io.load_frames(
+        frames, [0], resize_hw=None, label_dir=labels_dir,
+        label_mapping_tsv=tsv,
+    )
+    lut = scannet_io.nyu40_to_train_ids()
+    lab = out["label"][0]
+    assert (lab[0] == lut[1]).all()
+    assert (lab[1] == lut[40]).all()
+    assert (lab[2] == lut[5]).all()
+    assert (lab[3:] == -1).all()  # raw id 0 unmapped -> ignore
+
+    # without the TSV, raw-id pngs (> 40) must raise, not corrupt
+    with np.testing.assert_raises(ValueError):
+        scannet_io.load_frames(
+            frames, [0], resize_hw=None, label_dir=labels_dir,
+        )

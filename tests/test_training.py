@@ -184,3 +184,38 @@ def test_label_smoothing_and_class_balance(rng):
     lab2 = labels.at[:10].set(-1)
     base = float(segmentation_cross_entropy(logits, lab2))
     assert np.isfinite(base)
+
+
+def test_trainer_profile_capture(tmp_path):
+    """profile_steps captures a profiler trace dir (best-effort tracing —
+    the reference only had wall-clock meters, SURVEY §5)."""
+    import optax
+
+    from mvkpconv_tpu.training.trainer import Trainer
+    from mvkpconv_tpu.training.config import KPConfig
+
+    cfg = KPConfig(epoch_steps=100)
+    params = {"w": jnp.zeros((4,))}
+    tx = optax.sgd(0.1)
+    state = create_train_state({"params": params}, tx)
+
+    @jax.jit
+    def step(st, batch):
+        def loss_fn(p):
+            return jnp.sum((p["w"] - batch["x"]) ** 2)
+        g = jax.grad(loss_fn)(st.params)
+        upd, opt = tx.update(g, st.opt_state, st.params)
+        import optax as _o
+        return st._replace(step=st.step + 1,
+                           params=_o.apply_updates(st.params, upd),
+                           opt_state=opt), {"loss": loss_fn(st.params)}
+
+    tr = Trainer(step, state, tmp_path / "run", cfg, profile_steps=2,
+                 log_period=1)
+    batches = ({"x": jnp.ones((4,))} for _ in range(8))
+    tr.fit(batches, max_steps=8, prefetch_depth=0)
+    prof = tmp_path / "run" / "profile"
+    # best-effort: either a trace was written or capture was cleanly skipped
+    if prof.exists():
+        assert any(prof.rglob("*"))
+    assert (tmp_path / "run" / "scalars.jsonl").exists()
