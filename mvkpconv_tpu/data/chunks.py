@@ -24,25 +24,21 @@ import numpy as np
 
 
 def select_frames_greedy(
-    pixel_clouds: np.ndarray, chunk_points: np.ndarray, num_views: int, radius: float = 0.2
+    overlap: np.ndarray, inside: np.ndarray, num_views: int
 ) -> np.ndarray:
     """Greedy max-coverage frame choice (scannet_2d3d.py:20-30): pick frames
-    whose unprojected pixels cover the most not-yet-covered chunk points."""
-    sub = chunk_points[:: max(len(chunk_points) // 512, 1)]
-    # coverage = chunk point has a pixel within `radius`
-    covered = np.zeros(len(sub), bool)
+    covering the most not-yet-covered base points of the chunk region, over
+    the per-scene precomputed (frame, base point) overlap matrix
+    (spheres.compute_rgbd_overlap — the reference's rgbd-overlap design)."""
+    ov = overlap[:, inside]  # (F, n_inside)
+    covered = np.zeros(ov.shape[1], bool)
     chosen: List[int] = []
-    counts = []
-    for f in range(len(pixel_clouds)):
-        d2 = np.sum((sub[None] - pixel_clouds[f][:, None]) ** 2, -1)  # (hw, n)
-        counts.append(d2.min(0) < radius**2)
-    counts = np.stack(counts)  # (F, n) bool
     for _ in range(num_views):
-        gain = (counts & ~covered).sum(1)
+        gain = (ov & ~covered).sum(1)
         gain[chosen] = -1
         best = int(np.argmax(gain))
         chosen.append(best)
-        covered |= counts[best]
+        covered |= ov[best]
     return np.asarray(chosen)
 
 
@@ -68,14 +64,17 @@ class ChunkDataset:
         self.use_color_feature = use_color_feature
         self.training = training
         self.rng = np.random.RandomState(seed)
-        self.pixel_clouds = []
+        self.rgbd_overlap = []
         for s in self.scenes:
             if "depth" in s:
-                from mvkpconv_tpu.data.spheres import SphereDataset
+                from mvkpconv_tpu.data.spheres import compute_rgbd_overlap
 
-                self.pixel_clouds.append(SphereDataset._frame_pixel_clouds(s, stride=6))
+                self.rgbd_overlap.append(
+                    compute_rgbd_overlap(s, self.rng, overlap_radius=0.2,
+                                         stride=6)
+                )
             else:
-                self.pixel_clouds.append(None)
+                self.rgbd_overlap.append(None)
 
     def _sample_chunk_indices(self, scene) -> np.ndarray:
         pts = scene["points"]
@@ -103,10 +102,16 @@ class ChunkDataset:
             "point_indices": resample,
             "scene_index": si,
         }
-        if self.pixel_clouds[si] is not None:
-            frames = select_frames_greedy(
-                self.pixel_clouds[si], pts, self.num_views
+        if self.rgbd_overlap[si] is not None:
+            base, overlap = self.rgbd_overlap[si]
+            lo, hi = pts.min(0), pts.max(0)
+            inside = np.flatnonzero(
+                (base[:, 0] >= lo[0]) & (base[:, 0] <= hi[0])
+                & (base[:, 1] >= lo[1]) & (base[:, 1] <= hi[1])
             )
+            if len(inside) == 0:
+                inside = np.arange(len(base))
+            frames = select_frames_greedy(overlap, inside, self.num_views)
             item.update(
                 images=scene["rgb"][frames],
                 depth=scene["depth"][frames],

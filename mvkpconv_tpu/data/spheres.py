@@ -92,6 +92,42 @@ def assemble_features(
     return np.concatenate(cols, 1).astype(np.float32)
 
 
+def compute_rgbd_overlap(
+    scene, rng, n_base: int = 2048, overlap_radius: float = 0.1, stride: int = 4
+):
+    """One-off per-scene (base point, frame) coverage matrix.
+
+    Mirrors the reference's precomputed RGB-D overlap
+    (get_rgbd_overlap_subcloud.py:68-138: sample base points, mark those
+    with an unprojected pixel within 0.1 m per frame) so per-sample frame
+    selection is a tiny greedy over base points instead of per-pixel
+    distance sweeps. Uses the native hash-grid 1-NN when available.
+
+    Returns:
+      (base (nb, 3) float32, overlap (F, nb) bool).
+    """
+    from mvkpconv_tpu.data.native import nearest_neighbor_1nn_native
+
+    clouds = SphereDataset._frame_pixel_clouds(scene, stride=stride)
+    pts = scene["points"]
+    sel = rng.choice(len(pts), min(n_base, len(pts)), replace=False)
+    base = pts[sel].astype(np.float32)
+    cols = []
+    for f in range(len(clouds)):
+        pix = clouds[f]
+        pix = pix[pix[:, 0] < SHADOW_COORD / 2]  # drop invalid-depth pixels
+        if len(pix) == 0:
+            cols.append(np.zeros(len(base), bool))
+            continue
+        res = nearest_neighbor_1nn_native(base, pix, cell=overlap_radius)
+        if res is None:
+            d2 = ((base[:, None] - pix[None]) ** 2).sum(-1).min(1)
+        else:
+            _, d2 = res
+        cols.append(d2 < overlap_radius**2)
+    return base, np.stack(cols)
+
+
 HOST_ONLY_KEYS = ("scene_index", "center", "point_indices")
 
 
@@ -161,36 +197,7 @@ class SphereDataset:
         return np.stack(clouds)  # (F, hw, 3)
 
     def _rgbd_overlap(self, scene, n_base: int = 2048, overlap_radius: float = 0.1):
-        """One-off per-scene (base point, frame) coverage matrix.
-
-        Mirrors the reference's precomputed RGB-D overlap
-        (get_rgbd_overlap_subcloud.py:68-138: sample base points, mark those
-        with an unprojected pixel within 0.1 m per frame) so per-sphere frame
-        selection is a tiny greedy over base points instead of per-pixel
-        distance sweeps. Uses the native hash-grid 1-NN when available.
-        """
-        from mvkpconv_tpu.data.native import nearest_neighbor_1nn_native
-
-        clouds = self._frame_pixel_clouds(scene)  # (F, hw, 3)
-        pts = scene["points"]
-        sel = self.rng.choice(
-            len(pts), min(n_base, len(pts)), replace=False
-        )
-        base = pts[sel].astype(np.float32)
-        cols = []
-        for f in range(len(clouds)):
-            pix = clouds[f]
-            pix = pix[pix[:, 0] < SHADOW_COORD / 2]  # drop invalid-depth pixels
-            if len(pix) == 0:
-                cols.append(np.zeros(len(base), bool))
-                continue
-            res = nearest_neighbor_1nn_native(base, pix, cell=overlap_radius)
-            if res is None:
-                d2 = ((base[:, None] - pix[None]) ** 2).sum(-1).min(1)
-            else:
-                _, d2 = res
-            cols.append(d2 < overlap_radius**2)
-        return base, np.stack(cols)  # (nb, 3), (F, nb)
+        return compute_rgbd_overlap(scene, self.rng, n_base, overlap_radius)
 
     def _select_frames(self, scene, center) -> np.ndarray:
         """Greedy max-coverage frame choice near the sphere center
