@@ -123,6 +123,75 @@ def _radius_core(query, support, radius: float, k: int, method: str):
     return chunked_over_queries(per_chunk, query, chunk)
 
 
+def _pool_up_core(sub, p, radius: float, k: int, up_radius: float, method: str):
+    """Pool neighbors (sub→p) and upsample 1-NN (p→sub) from ONE distance
+    sweep: the pool matrix d²(sub, p) is exactly the transpose of what the
+    upsample needs, so the 1-NN per level-l point is the column argmin —
+    a reduction over the rows already being computed, instead of a second
+    full pairwise pass."""
+    np_ = p.shape[0]
+    nsub = sub.shape[0]
+    chunk = pick_chunk(nsub, np_)
+    r2 = jnp.float32(radius) ** 2
+    keff = min(k, np_)
+
+    def per_chunk(q):
+        d2 = pairwise_sq_dists(q, p)  # (chunk, Np)
+        masked = jnp.where(d2 < r2, d2, jnp.inf)
+        idx, vals = _smallest_k(masked, keff, method)
+        idx = jnp.where(jnp.isfinite(vals), idx, np_)
+        idx, _ = _pad_k(idx, vals, k, np_, jnp.inf)
+        # column minima for the upsample (within this row chunk)
+        col_arg = jnp.argmin(d2, axis=0).astype(jnp.int32)  # (Np,)
+        col_min = jnp.take_along_axis(d2, col_arg[None], axis=0)[0]
+        return idx, col_min, col_arg
+
+    if nsub <= chunk:
+        pool_idx, col_min, col_arg = per_chunk(sub)
+        up = col_arg
+        up_d2 = col_min
+    else:
+        assert nsub % chunk == 0
+        chunks = sub.reshape(nsub // chunk, chunk, 3)
+        pool_idx, col_mins, col_args = jax.lax.map(per_chunk, chunks)
+        pool_idx = pool_idx.reshape(nsub, -1)
+        best_chunk = jnp.argmin(col_mins, axis=0)  # (Np,)
+        up_d2 = jnp.take_along_axis(col_mins, best_chunk[None], axis=0)[0]
+        local = jnp.take_along_axis(col_args, best_chunk[None], axis=0)[0]
+        up = (best_chunk.astype(jnp.int32) * chunk + local).astype(jnp.int32)
+    up = jnp.where(up_d2 <= jnp.float32(up_radius) ** 2, up, nsub)
+    return pool_idx, up[:, None].astype(jnp.int32)
+
+
+def pool_and_upsample(
+    sub: jnp.ndarray,
+    p: jnp.ndarray,
+    radius: float,
+    k: int,
+    up_radius: float,
+    method: str = "exact",
+):
+    """Fused pool-neighbor + upsample-1-NN selection for one pyramid level.
+
+    Args:
+      sub: (..., Nsub, 3) level-(l+1) points (pool queries / upsample
+        supports); p: (..., Np, 3) level-l points.
+      radius, k: pool search ball and budget; up_radius: upsample cutoff
+        (2× the pool radius, common.py:608-610).
+
+    Returns:
+      (pool_idx (..., Nsub, k) shadow=Np, up_idx (..., Np, 1) shadow=Nsub).
+    """
+    return _maybe_vmap(
+        functools.partial(
+            _pool_up_core, radius=radius, k=k, up_radius=up_radius,
+            method=method,
+        ),
+        sub,
+        p,
+    )
+
+
 def radius_neighbors(
     query: jnp.ndarray,
     support: jnp.ndarray,

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from mvkpconv_tpu.ops.neighbors import (
     bucketed_radius_neighbors,
-    knn,
+    pool_and_upsample,
     radius_neighbors,
 )
 from mvkpconv_tpu.ops.sampling import grid_subsample
@@ -230,28 +230,19 @@ def build_pyramid(
             msks.append(sub.mask)
             rp = spec.pool_radius(level)
             kp = spec.pool_k(level)
-            if rc == rp:
-                # conv (queries = level l) and pool (queries = level l+1)
-                # share supports and radius — one fused selection call
-                both = select(
-                    jnp.concatenate([p, sub.points], axis=1), p, rc, max(kc, kp)
-                )
-                conv_i = both[:, : p.shape[1], :kc]
-                pool_i = both[:, p.shape[1] :, :kp]
-            else:
-                # mixed deform layer: conv and pool radii differ
-                # (datasets/common.py:572-601)
-                conv_i = select(p, p, rc, kc)
-                pool_i = select(sub.points, p, rp, kp)
-            # upsample: 1-NN into level l+1 within 2× the POOL radius
-            # (common.py:608-610 — "radius of the next layer")
+            conv_i = select(p, p, rc, kc)
             if spec.neighbor_method in ("pallas", "bucketed"):
+                pool_i = select(sub.points, p, rp, kp)
+                # upsample: 1-NN into level l+1 within 2× the POOL radius
+                # (common.py:608-610 — "radius of the next layer")
                 up_idx = select(p, sub.points, 2.0 * rp, 1)
             else:
-                up_idx, up_d2 = knn(p, sub.points, 1)
-                up_idx = jnp.where(
-                    up_d2 <= (2.0 * rp) ** 2, up_idx, sub.points.shape[1]
-                ).astype(jnp.int32)
+                # pool + upsample share ONE distance sweep (the upsample's
+                # 1-NN is the column argmin of the pool matrix)
+                pool_i, up_idx = pool_and_upsample(
+                    sub.points, p, rp, kp, 2.0 * rp,
+                    method=spec.neighbor_method,
+                )
             neighbors.append(conv_i)
             pools.append(pool_i)
             upsamples.append(up_idx)

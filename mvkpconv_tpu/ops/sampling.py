@@ -100,8 +100,12 @@ def _grid_subsample_core(
     seg = jnp.where(valid_s & (seg < max_out), seg, max_out)
 
     ones = valid_s.astype(jnp.float32) * (seg < max_out)
-    counts = jax.ops.segment_sum(ones, seg, num_segments=max_out + 1)[:-1]
-    psum = jax.ops.segment_sum(points[order] * ones[:, None], seg, max_out + 1)[:-1]
+    counts = jax.ops.segment_sum(
+        ones, seg, num_segments=max_out + 1, indices_are_sorted=True
+    )[:-1]
+    psum = jax.ops.segment_sum(
+        points[order] * ones[:, None], seg, max_out + 1, indices_are_sorted=True
+    )[:-1]
     out_mask = counts > 0
     denom = jnp.maximum(counts, 1.0)[:, None]
     out_points = masked_points(psum / denom, out_mask)
@@ -109,7 +113,8 @@ def _grid_subsample_core(
     out_features = None
     if features is not None:
         fsum = jax.ops.segment_sum(
-            features[order] * ones[:, None], seg, max_out + 1
+            features[order] * ones[:, None], seg, max_out + 1,
+            indices_are_sorted=True,
         )[:-1]
         out_features = fsum / denom
 
@@ -118,7 +123,9 @@ def _grid_subsample_core(
         lab = labels[order]
         lab_valid = ones * (lab >= 0)
         onehot = jax.nn.one_hot(jnp.clip(lab, 0), num_classes) * lab_valid[:, None]
-        votes = jax.ops.segment_sum(onehot, seg, max_out + 1)[:-1]
+        votes = jax.ops.segment_sum(
+            onehot, seg, max_out + 1, indices_are_sorted=True
+        )[:-1]
         maj = jnp.argmax(votes, axis=-1).astype(jnp.int32)
         has_vote = jnp.sum(votes, axis=-1) > 0
         out_labels = jnp.where(out_mask & has_vote, maj, ignore_label)
