@@ -81,3 +81,23 @@ def test_validation_sweep_returns_miou():
     out = validation_sweep(ds, _oracle_predictor(ds, cfg), cfg.num_classes, num_batches=5)
     assert 0.0 <= out["miou"] <= 1.0
     assert out["class_iou"].shape == (20,)
+
+
+def test_evaluate_labels_cli(tmp_path, rng, capsys):
+    """Standalone benchmark-style evaluator (evaluate_3d.py:95-160)."""
+    from mvkpconv_tpu.tools.evaluate_labels import main
+
+    pred_d = tmp_path / "pred"; gt_d = tmp_path / "gt"
+    pred_d.mkdir(); gt_d.mkdir()
+    for scan in ("scene0", "scene1"):
+        gt = rng.randint(0, 5, 200)
+        pred = gt.copy()
+        flip = rng.rand(200) < 0.2
+        pred[flip] = (pred[flip] + 1) % 5
+        np.savetxt(pred_d / f"{scan}.txt", pred, fmt="%d")
+        np.savetxt(gt_d / f"{scan}.txt", gt, fmt="%d")
+    main(["--pred-path", str(pred_d), "--gt-path", str(gt_d),
+          "--num-classes", "5"])
+    out = capsys.readouterr().out
+    assert "mIoU" in out or "mean" in out.lower()
+    assert "scored scene0.txt" in out
