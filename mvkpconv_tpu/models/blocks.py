@@ -121,12 +121,36 @@ def kpconv_apply(
                 weights.reshape(m * cin, cout).astype(jnp.float32),
                 float(kp_extent),
             )
-    # (B, Nq, K, M) squared distances between neighbors and kernel points
-    kp = kernel_pts[None, None, None].astype(jnp.float32)
+    # (B, Nq, K, M) squared distances between neighbors and kernel points.
+    # Rigid path: |n − y|² = |n|² − 2 n·y + |y|² with the cross term as a
+    # (B·Nq·K, 3)@(3, M) matmul — avoids materializing the 5-D difference
+    # tensor, whose tiny minor dims (M=15, 3) force lane-hostile layouts and
+    # relayout copies around the einsum below (measured 19.5 → 14.9 ms for
+    # an L0 block on v5e). Deformable keeps the explicit difference (kernel
+    # points vary per query there, so there is no shared (3, M) operand).
     if kp_offsets is not None:
-        kp = kp + kp_offsets[:, :, None]
-    diff = neighbors[..., None, :] - kp
-    sq = jnp.sum(diff * diff, axis=-1)
+        kp = kernel_pts[None, None, None].astype(jnp.float32) + kp_offsets[:, :, None]
+        diff = neighbors[..., None, :] - kp
+        sq = jnp.sum(diff * diff, axis=-1)
+    else:
+        kp = kernel_pts[None, None, None].astype(jnp.float32)
+        cross = jax.lax.dot_general(
+            neighbors.astype(compute_dtype),
+            kernel_pts.T.astype(compute_dtype),
+            dimension_numbers=(((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            # keep f32 configs exact (TPU default would do bf16 passes)
+            precision=(
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            ),
+        )
+        n2 = jnp.sum(neighbors * neighbors, axis=-1)
+        y2 = jnp.sum(kernel_pts * kernel_pts, axis=-1).astype(jnp.float32)
+        sq = jnp.maximum(
+            n2[..., None] - 2.0 * cross + y2[None, None, None], 0.0
+        )
     deform_aux = None
     if return_deform_aux:
         # min distance of each (deformed) kernel point to a REAL neighbor,

@@ -82,7 +82,11 @@ class KPConfig:
     # camera projection (near-exact, ~100× fewer pairs); 'exact' brute-forces
     # all pixels like the reference's CPU ball-tree
     pixel_assoc: str = "projective"
-    pixel_window: int = 9
+    pixel_window: int = 7
+    # im2col patch storage dtype for the projective association ('bfloat16'
+    # halves the dominant patch-gather HBM cost; selection-only — relation
+    # features always use full-precision pixel positions)
+    pixel_patch_dtype: str = "bfloat16"
 
     # ----- deformable regularizer -----
     deform_fitting_power: float = 1.0
