@@ -89,6 +89,41 @@ def main():
     points_per_batch = b * cfg.num_points[0]
     value = points_per_batch / dt
 
+    # Training-step throughput (forward + backward + clipped-SGD update +
+    # BN-stat update, the trainer.py per-iteration program). The state
+    # threads through the in-graph loop, so every iteration really executes
+    # (each step's params differ — nothing for LICM to hoist).
+    from mvkpconv_tpu.training.optim import make_optimizer
+    from mvkpconv_tpu.training.steps import (
+        create_train_state,
+        make_apply_fn,
+        make_train_step,
+    )
+
+    tx = make_optimizer(cfg, frozen_prefixes=("net_2d",))
+    apply_fn = make_apply_fn(model, cfg, "mvkpconv")
+    train_step = make_train_step(apply_fn, tx, cfg, donate=False)
+    state0 = create_train_state(variables, tx)
+
+    @jax.jit
+    def timed_train(state, batch):
+        def body(_, s):
+            s, _metrics = train_step(s, batch)
+            return s
+        return jax.lax.fori_loop(0, iters, body, state)
+
+    state1 = timed_train(state0, batch)  # warmup / compile
+    jax.block_until_ready(state1)
+    float(jnp.sum(state1.step))  # sync through the relay
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sN = timed_train(state0, batch)
+        float(jnp.sum(sN.step))
+        ts.append(time.perf_counter() - t0)
+    train_dt = min(ts) / iters
+    train_rate = points_per_batch / train_dt
+
     # Host pipeline rate: real SphereDataset sampling (potential pick, frame
     # selection, feature assembly, padding) on synthetic scenes at bench
     # shapes. With the prefetch thread (data/prefetch.py) host and device
@@ -128,6 +163,7 @@ def main():
                 "vs_baseline": round(value / baseline, 3),
                 "host_pipeline_points_per_sec": round(host_rate, 1),
                 "host_inclusive_points_per_sec": round(sustained, 1),
+                "train_points_per_sec": round(train_rate, 1),
             }
         )
     )

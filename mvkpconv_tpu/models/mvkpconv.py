@@ -132,8 +132,15 @@ class MVKPConv(nn.Module):
         feat = preds["feature"].reshape(b, v * h * w, -1)
         if self.freeze_2d:
             feat = jax.lax.stop_gradient(feat)
-        pixel_feat = group_points(feat, knn_idx)  # (B, N, K, 64)
-        pixel_xyz = group_points(image_xyz.reshape(b, v * h * w, 3), knn_idx)
+        # ONE gather for pixel positions ⊕ features (identical indices; TPU
+        # gathers are start-bound and payload-width-insensitive ≤128 lanes)
+        payload = jnp.concatenate(
+            [image_xyz.reshape(b, v * h * w, 3), feat.astype(image_xyz.dtype)],
+            axis=-1,
+        )
+        grouped = group_points(payload, knn_idx)  # (B, N, K, 3+64)
+        pixel_xyz = grouped[..., :3]
+        pixel_feat = grouped[..., 3:]
         return self.feat_aggreg(pixel_xyz, points, pixel_feat, train)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], pyr: Pyramid, train: bool = False):

@@ -45,3 +45,26 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put every leaf of a batch pytree, sharded on its leading dim."""
     sh = batch_sharding(mesh, axis)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def model_sharding(mesh: Mesh, params, axis: str = "model", min_dim: int = 64):
+    """Tensor-parallel parameter shardings over the ``model`` mesh axis.
+
+    Shards each parameter's trailing (output-channel) dimension over ``axis``
+    when it divides evenly and is at least ``min_dim`` wide — the KPConv
+    ``(M, Cin, Cout)`` weights, dense kernels and conv kernels all carry
+    channels last — and replicates everything else (biases, BN vectors,
+    kernel offsets). With batch sharded over ``data`` and params laid out
+    this way, XLA inserts the activation all-gathers / grad reduce-scatters
+    over ICI on its own; no model in this family *needs* the capacity, so
+    this is the scaling layout kept exercised for multi-host growth
+    (SURVEY.md §2.5 TPU-native equivalent).
+    """
+    size = mesh.shape[axis] if axis in mesh.shape else 1
+
+    def rule(x):
+        if size > 1 and x.ndim >= 1 and x.shape[-1] >= min_dim and x.shape[-1] % size == 0:
+            return NamedSharding(mesh, P(*([None] * (x.ndim - 1) + [axis])))
+        return replicated(mesh)
+
+    return jax.tree.map(rule, params)

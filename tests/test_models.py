@@ -110,12 +110,15 @@ def test_kpfcnn_grad_flows(rng):
 
 
 def test_unet_resnet34_shapes(rng):
+    # 56x72 exercises the same pad-to-16/crop logic as the production
+    # 120x160 at ~5x less CPU time (full-res covered by the slow tier's
+    # training e2e tests)
     model = UNetResNet34(num_classes=7)
-    img = jnp.asarray(rng.rand(2, 120, 160, 3).astype(np.float32))
+    img = jnp.asarray(rng.rand(2, 56, 72, 3).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), img)
     out = model.apply(variables, img)
-    assert out["seg_logit"].shape == (2, 120, 160, 7)
-    assert out["feature"].shape == (2, 120, 160, 64)
+    assert out["seg_logit"].shape == (2, 56, 72, 7)
+    assert out["feature"].shape == (2, 56, 72, 64)
 
 
 @pytest.mark.slow

@@ -78,3 +78,75 @@ def test_shard_batch_places_all_leaves():
     out = shard_batch(batch, mesh)
     for leaf in out.values():
         assert len(leaf.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_2d_mesh_data_model_matches_single_device():
+    """(data=4, model=2) mesh: batch over data, channel dims over model.
+
+    The tensor-parallel layout no model in this family needs for capacity,
+    kept exercised so multi-host growth is a config change (ROADMAP #5).
+    """
+    from mvkpconv_tpu.parallel import model_sharding
+
+    cfg = KPConfig(
+        num_points=(256, 64),
+        conv_neighbors=(10, 10),
+        pool_neighbors=(10,),
+        architecture=("simple", "resnetb_strided", "nearest_upsample", "unary"),
+        in_radius=1.0,
+        first_subsampling_dl=0.1,
+        in_features_dim=2,
+        first_features_dim=64,  # wide enough that channel dims shard 2-way
+        num_classes=20,
+        batch_num=4,
+    )
+    scenes = [synthetic.make_scene(seed=0, num_points=8000)]
+    ds = SphereDataset(scenes, cfg, training=False, seed=0)
+    batch = device_batch(ds.sample_batch(4))
+
+    model = KPFCNN(cfg)
+    pyr = build_pyramid(
+        jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]), cfg.pyramid_spec()
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(batch["features"]), pyr)
+    tx = make_optimizer(cfg)
+    apply_fn = make_apply_fn(model, cfg, "kpfcnn")
+
+    step1 = make_train_step(apply_fn, tx, cfg, donate=False)
+    state1, stats1 = step1(create_train_state(variables, tx), batch)
+
+    mesh = make_mesh((4, 2), ("data", "model"))
+    state2 = create_train_state(variables, tx)
+    psh = model_sharding(mesh, state2.params, min_dim=16)
+    # at least one weight must actually shard over the model axis
+    from jax.sharding import PartitionSpec as P
+    assert any(
+        s.spec == P(*([None] * (len(s.spec) - 1) + ["model"])) and len(s.spec) > 0
+        for s in jax.tree_util.tree_leaves(
+            psh, is_leaf=lambda x: hasattr(x, "spec")
+        )
+    )
+    state2 = state2._replace(
+        params=jax.tree.map(jax.device_put, state2.params, psh),
+        batch_stats=jax.device_put(state2.batch_stats, replicated(mesh)),
+        opt_state=jax.tree.map(
+            lambda x: jax.device_put(
+                x, replicated(mesh)
+            ),
+            state2.opt_state,
+        ),
+        step=jax.device_put(state2.step, replicated(mesh)),
+    )
+    sbatch = shard_batch(batch, mesh)
+    step2 = make_train_step(apply_fn, tx, cfg, donate=False)
+    state2, stats2 = step2(state2, sbatch)
+
+    np.testing.assert_allclose(
+        float(stats1["loss"]), float(stats2["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(jax.device_get(state1.params)),
+        jax.tree_util.tree_leaves(jax.device_get(state2.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
