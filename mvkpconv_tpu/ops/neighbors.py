@@ -119,17 +119,9 @@ def _radius_core(query, support, radius: float, k: int, method: str):
     def per_chunk(q):
         d2 = pairwise_sq_dists(q, support)  # (chunk, Ns)
         d2 = jnp.where(d2 < r2, d2, jnp.inf)
-        if method == "approx":
-            # The selection is a PartialReduce custom call, so the masked d²
-            # matrix is materialized in HBM either way; storing it bf16
-            # halves that traffic (the step's largest tensor). Precision:
-            # the f32-computed VALUE is merely rounded (0.4% relative — a
-            # float keeps full relative precision near zero), unlike
-            # computing the expansion itself in bf16, whose cancellation
-            # error scales with the sphere extent (see pairwise_sq_dists).
-            # Only near-tie neighbor swaps can result, within the
-            # calibrated-truncation tolerance approx selection already has.
-            d2 = d2.astype(jnp.bfloat16)
+        # (bf16 storage of the f32-computed d² before the selection was
+        # measured and is NOT faster: approx_min_k is row-bound, not
+        # byte-bound — see RESULTS.md. Keep exact f32 values.)
         idx, vals = _smallest_k(d2, keff, method)
         idx = jnp.where(jnp.isfinite(vals), idx, ns)
         idx, _ = _pad_k(idx, vals, k, ns, jnp.inf)
@@ -153,10 +145,6 @@ def _pool_up_core(sub, p, radius: float, k: int, up_radius: float, method: str):
     def per_chunk(q):
         d2 = pairwise_sq_dists(q, p)  # (chunk, Np)
         masked = jnp.where(d2 < r2, d2, jnp.inf)
-        if method == "approx":
-            # bf16 storage for the selection input (see _radius_core); the
-            # upsample column-argmin below keeps the f32 values.
-            masked = masked.astype(jnp.bfloat16)
         idx, vals = _smallest_k(masked, keff, method)
         idx = jnp.where(jnp.isfinite(vals), idx, np_)
         idx, _ = _pad_k(idx, vals, k, np_, jnp.inf)
