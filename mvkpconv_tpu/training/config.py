@@ -130,9 +130,12 @@ class KPConfig:
     # data/calibration.py emits these for architectures with deform blocks.
     deform_conv_neighbors: Tuple[int, ...] = ()
     deform_pool_neighbors: Tuple[int, ...] = ()
-    # 'approx' = TPU-native approx_min_k neighbor selection (fast; safe where
-    # the reference already truncates neighbor lists); 'exact' = full top-k.
-    neighbor_method: str = "approx"
+    # 'binmin' = fused Pallas bin-min selection (5.3× the approx path on
+    # TPU, recall ~0.98 — see ops/pallas/radius_topk.py; CPU backends fall
+    # back to 'approx' automatically); 'approx' = TPU-native approx_min_k
+    # (safe wherever the reference already truncates neighbor lists to
+    # calibrated budgets); 'exact' = full top-k sort.
+    neighbor_method: str = "binmin"
     # opt-in fused Pallas KPConv kernel: measured 1.33× SLOWER than XLA's
     # own fusion of the einsum chain at production shapes (XLA fuses this
     # pattern well; the kernel's per-KP small matmuls underutilize the MXU).
