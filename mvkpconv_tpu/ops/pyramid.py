@@ -252,9 +252,11 @@ def build_pyramid(
             if spec.neighbor_method in ("pallas", "bucketed", "binmin"):
                 pool_i = select(sub.points, p, rp, kp)
                 # upsample: 1-NN into level l+1 within 2× the POOL radius
-                # (common.py:608-610 — "radius of the next layer"); the
-                # exact argmin fast path (k=1), not the selection kernel
-                up_idx = radius_neighbors(p, sub.points, 2.0 * rp, 1, method="exact")
+                # (common.py:608-610 — "radius of the next layer"). k=1
+                # through the bin-min kernel is EXACT (the global minimum
+                # is always a bin champion) and 2.8× the argmin sweep at
+                # L0 (2.0 vs 5.7 ms)
+                up_idx = select(p, sub.points, 2.0 * rp, 1)
             else:
                 # pool + upsample share ONE distance sweep (the upsample's
                 # 1-NN is the column argmin of the pool matrix)
