@@ -220,87 +220,6 @@ def radius_neighbors(
     )
 
 
-def _bucketed_core(query, support, radius: float, k: int, block: int,
-                   window: int, method: str):
-    nq, ns = query.shape[0], support.shape[0]
-    r2 = jnp.float32(radius) ** 2
-    keff = min(k, window)
-
-    s_order = jnp.argsort(support[:, 0]).astype(jnp.int32)
-    ss = support[s_order]  # sorted by x; SHADOW padding sorts last
-    ssx = ss[:, 0]
-    q_order = jnp.argsort(query[:, 0]).astype(jnp.int32)
-    qs = query[q_order]
-
-    nb = nq // block
-    qblocks = qs.reshape(nb, block, 3)
-    xmin = jnp.min(qblocks[:, :, 0], axis=1) - radius
-    starts = jnp.clip(
-        jnp.searchsorted(ssx, xmin).astype(jnp.int32), 0, ns - window
-    )
-
-    # all windows at once: contiguous row ranges expressed as one flat take
-    # (cheap — nb·window starts), then one fully-batched distance + select
-    win_rows = starts[:, None] + jnp.arange(window, dtype=jnp.int32)[None, :]
-    wins = jnp.take(ss, win_rows.reshape(-1), axis=0).reshape(nb, window, 3)
-    d2 = pairwise_sq_dists(qblocks, wins)  # (nb, block, window)
-    d2 = jnp.where(d2 < r2, d2, jnp.inf)
-    idx, vals = _smallest_k(d2, keff, method)
-    idx = jnp.where(jnp.isfinite(vals), idx + starts[:, None, None], ns)
-    idx = idx.reshape(nq, keff)
-    idx, _ = _pad_k(idx, idx, k, ns, ns)
-    # sorted support rank → original support index (shadow ns → ns)
-    s_map = jnp.concatenate([s_order, jnp.asarray([ns], jnp.int32)])
-    idx = jnp.take(s_map, idx, axis=0)
-    # unsort the query axis
-    inv = jnp.zeros((nq,), jnp.int32).at[q_order].set(
-        jnp.arange(nq, dtype=jnp.int32)
-    )
-    return jnp.take(idx, inv, axis=0)
-
-
-def bucketed_radius_neighbors(
-    query: jnp.ndarray,
-    support: jnp.ndarray,
-    radius: float,
-    k: int,
-    block: int = 1024,
-    window: Optional[int] = None,
-    method: str = "approx",
-):
-    """Radius neighbors via sorted rank-window bucketing.
-
-    TPU-first replacement for the per-cloud KD-tree radius search
-    (neighbors.cpp:211-332): both sets are sorted along x, queries are
-    processed in ``block``-sized sorted tiles, and each tile only computes
-    distances against a contiguous ``window`` of sorted supports starting at
-    the first support with x ≥ tile_min_x − radius (a ``searchsorted`` on the
-    sorted x keys). All slices are contiguous (dynamic_slice, not gather),
-    the pair count drops by ~Ns/window, and the output contract (distance-
-    sorted, shadow-padded) matches :func:`radius_neighbors`.
-
-    Approximation: neighbors whose sorted rank falls beyond the window are
-    missed — recall depends on density uniformity along x (≥0.99 on scan-like
-    clouds at window ≈ 3·block; see tests/test_ops_neighbors.py). Use
-    ``radius_neighbors`` (exact) where the contract matters.
-    """
-    ns = support.shape[-2]
-    nq = query.shape[-2]
-    block = min(block, nq)
-    while nq % block:
-        block //= 2
-    if window is None:
-        window = min(ns, 3 * max(block * ns // max(nq, 1), block))
-    window = min(window, ns)
-    if window >= ns:
-        return radius_neighbors(query, support, radius, k, method=method)
-    core = functools.partial(
-        _bucketed_core, radius=radius, k=k, block=block, window=window,
-        method=method,
-    )
-    return _maybe_vmap(core, query, support)
-
-
 def _ball_core(query, support, radius: float, k: int):
     ns = support.shape[0]
     chunk = pick_chunk(query.shape[0], ns)

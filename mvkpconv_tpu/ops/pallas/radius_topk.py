@@ -29,10 +29,12 @@ Design (one kernel, grid = (B, Nq/TQ)):
     CORRECT (the skip just never fires);
   * the final top-k extraction runs k rounds of (min, remove) over the 128
     packed champions — cheap because it is one array, not (value, index)
-    pairs. Output is ascending by distance with shadow index == Ns for
-    missing neighbors, matching ``radius_neighbors``' contract
-    (neighbors.cpp:319-325 shadow convention, distance-sorted order that
-    ``closest_pool`` depends on).
+    pairs. Output is ascending by the 2⁻⁹-quantized distance keys (index
+    tiebreak) with shadow index == Ns for missing neighbors, matching
+    ``radius_neighbors``' contract (neighbors.cpp:319-325 shadow
+    convention; near-ties within ~0.2% relative distance can reorder, so
+    tie-sensitive consumers must not rely on strict ordering —
+    ``closest_pool`` only needs the first entry to be a near-1-NN).
 
 Recall model: k nearest among 128 bins loses only bin collisions among the
 true top-k (~0.97-0.98 measured at k=30 on scan-like clouds) — the same
@@ -135,7 +137,8 @@ def binmin_radius_topk(
 
     Returns:
       (B, Nq, k) int32, entries == Ns mean "no neighbor", ascending by
-      distance — same contract as :func:`ops.neighbors.radius_neighbors`.
+      2⁻⁹-quantized distance (near-ties can reorder) — otherwise the same
+      contract as :func:`ops.neighbors.radius_neighbors`.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu

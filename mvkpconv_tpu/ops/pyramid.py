@@ -27,11 +27,7 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 
-from mvkpconv_tpu.ops.neighbors import (
-    bucketed_radius_neighbors,
-    pool_and_upsample,
-    radius_neighbors,
-)
+from mvkpconv_tpu.ops.neighbors import pool_and_upsample, radius_neighbors
 from mvkpconv_tpu.ops.sampling import grid_subsample
 
 
@@ -97,9 +93,9 @@ class PyramidSpec:
     deform_pool_neighbors: Optional[Tuple[int, ...]] = None
     # 'exact' (top_k sort) | 'approx' (TPU approx_min_k) | 'binmin'
     # (fused Pallas bin-min selection kernel, 5.3× the approx path on TPU —
-    # see ops/pallas/radius_topk.py; falls back to 'approx' on CPU) |
-    # 'bucketed' (sorted rank-window pruning + approx_min_k) | 'pallas'
-    # (earlier fused kernel generation, kept for reference)
+    # see ops/pallas/radius_topk.py; falls back to 'approx' on CPU).
+    # Superseded generations ('bucketed' rank-window pruning, the gen-1
+    # 'pallas' fused kernel) are parked in scratch/; findings in RESULTS.md.
     neighbor_method: str = "exact"
 
     @property
@@ -228,12 +224,6 @@ def build_pyramid(
                 return binmin_radius_topk(queries, supports, radius, k)
             # CPU backends / oversize supports: XLA approx path
             return radius_neighbors(queries, supports, radius, k, method="approx")
-        if method == "pallas":
-            from mvkpconv_tpu.ops.pallas.neighbors import fused_radius_topk
-
-            return fused_radius_topk(queries, supports, radius, k)
-        if method == "bucketed":
-            return bucketed_radius_neighbors(queries, supports, radius, k)
         return radius_neighbors(queries, supports, radius, k, method=method)
 
     for level in range(spec.num_levels):
@@ -249,13 +239,15 @@ def build_pyramid(
             rp = spec.pool_radius(level)
             kp = spec.pool_k(level)
             conv_i = select(p, p, rc, kc)
-            if spec.neighbor_method in ("pallas", "bucketed", "binmin"):
+            if spec.neighbor_method == "binmin":
                 pool_i = select(sub.points, p, rp, kp)
                 # upsample: 1-NN into level l+1 within 2× the POOL radius
                 # (common.py:608-610 — "radius of the next layer"). k=1
-                # through the bin-min kernel is EXACT (the global minimum
-                # is always a bin champion) and 2.8× the argmin sweep at
-                # L0 (2.0 vs 5.7 ms)
+                # through the bin-min kernel is exact up to the kernel's
+                # 2⁻⁹-quantized distance keys (near-ties within ~0.2%
+                # relative distance can pick a marginally farther point —
+                # don't rely on strict ordering for tie-sensitive
+                # consumers), and 2.8× the argmin sweep at L0 (2.0 vs 5.7 ms)
                 up_idx = select(p, sub.points, 2.0 * rp, 1)
             else:
                 # pool + upsample share ONE distance sweep (the upsample's

@@ -53,8 +53,10 @@ def model_sharding(mesh: Mesh, params, axis: str = "model", min_dim: int = 64):
     Shards each parameter's trailing (output-channel) dimension over ``axis``
     when it divides evenly and is at least ``min_dim`` wide — the KPConv
     ``(M, Cin, Cout)`` weights, dense kernels and conv kernels all carry
-    channels last — and replicates everything else (biases, BN vectors,
-    kernel offsets). With batch sharded over ``data`` and params laid out
+    channels last, and channel-wise 1-D vectors (biases, BN scales) of that
+    width shard right along with the matching weight outputs. Everything
+    narrower (small biases, kernel offsets) is replicated. With batch
+    sharded over ``data`` and params laid out
     this way, XLA inserts the activation all-gathers / grad reduce-scatters
     over ICI on its own; no model in this family *needs* the capacity, so
     this is the scaling layout kept exercised for multi-host growth

@@ -109,51 +109,3 @@ def test_knn_large_uses_chunking(rng):
     np.testing.assert_allclose(
         np.asarray(d2)[0, :16], np.sort(brute, -1)[:, :3], rtol=2e-4, atol=1e-5
     )
-
-
-def test_bucketed_radius_matches_exact(rng):
-    """Bucketed rank-window selection: same neighbor sets as the exact op on
-    a scan-like shell cloud (window ≥ 3·block ⇒ full recall; see
-    bucketed_radius_neighbors docstring)."""
-    from mvkpconv_tpu.ops.neighbors import bucketed_radius_neighbors
-
-    n = 4096
-    u = rng.randn(n, 3)
-    u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-9
-    pts = jnp.asarray(u * (1.2 * (0.7 + 0.3 * rng.rand(n, 1))), jnp.float32)
-    r = 0.2
-    exact = np.asarray(radius_neighbors(pts, pts, r, 20, method="exact"))
-    buck = np.asarray(
-        bucketed_radius_neighbors(pts, pts, r, 20, block=512, method="exact")
-    )
-    for i in range(0, n, 7):
-        e = exact[i][exact[i] < n]
-        b = buck[i][buck[i] < n]
-        np.testing.assert_array_equal(np.sort(b), np.sort(e))
-        # distance-sorted order preserved
-        d = np.linalg.norm(np.asarray(pts)[b] - np.asarray(pts)[i], axis=-1)
-        assert (np.diff(d) >= -1e-6).all()
-
-
-def test_bucketed_radius_batched_and_padded(rng):
-    from mvkpconv_tpu.ops.common import masked_points
-    from mvkpconv_tpu.ops.neighbors import bucketed_radius_neighbors
-
-    b, n = 2, 1024
-    pts = jnp.asarray(rng.rand(b, n, 3) * 2 - 1, jnp.float32)
-    mask = jnp.asarray(rng.rand(b, n) > 0.3)
-    pts = masked_points(pts, mask)
-    r = 0.3
-    exact = np.asarray(radius_neighbors(pts, pts, r, 16, method="exact"))
-    buck = np.asarray(
-        bucketed_radius_neighbors(pts, pts, r, 16, block=256, window=768,
-                                  method="exact")
-    )
-    m = np.asarray(mask)
-    for bi in range(b):
-        for i in range(0, n, 11):
-            if not m[bi, i]:
-                continue
-            e = exact[bi, i][exact[bi, i] < n]
-            bk = buck[bi, i][buck[bi, i] < n]
-            np.testing.assert_array_equal(np.sort(bk), np.sort(e))
