@@ -49,6 +49,61 @@ def closest_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return gather_neighbors(x, idx[..., :1])[..., 0, :]
 
 
+def rigid_influence(
+    q_pts: jnp.ndarray,
+    s_pts: jnp.ndarray,
+    neighb_inds: jnp.ndarray,
+    kernel_pts: jnp.ndarray,
+    kp_extent: float,
+    influence: str = "linear",
+    aggregation: str = "sum",
+) -> jnp.ndarray:
+    """Rigid KP influence weights ``all_w`` (B, Nq, K, M), f32.
+
+    Depends only on geometry — query/support points, neighbor indices,
+    kernel point layout, extent — which every rigid conv block at a pyramid
+    level shares (same ``pyr.neighbors[l]``/radius/kernel points). Computing
+    it ONCE per (level, conv|pool) and feeding the result to
+    :func:`kpconv_apply` via ``precomputed_influence`` removes the per-block
+    geometry recomputation entirely (measured ~20% of an L0 rigid block).
+    Shadow neighbors (index == Ns) land on a +1e6 support row, giving zero
+    influence exactly like the reference's shadow points (blocks.py:277).
+    """
+    s_pad = jnp.concatenate([s_pts, jnp.full_like(s_pts[:, :1], 1e6)], axis=1)
+    neighbors = group_points(s_pad, neighb_inds) - q_pts[:, :, None, :]
+    # |n − y|² = |n|² − 2 n·y + |y|² with the cross term as a
+    # (B·Nq·K, 3)@(3, M) matmul — avoids materializing the 5-D difference
+    # tensor, whose tiny minor dims (M=15, 3) force lane-hostile layouts
+    # (measured 19.5 → 14.9 ms for an L0 block on v5e). Geometry is always
+    # f32/HIGHEST: negligible FLOPs, and bf16-rounded geometry gives
+    # percent-level weight error near kernel points (round-2 advisor).
+    cross = jax.lax.dot_general(
+        neighbors,
+        kernel_pts.T.astype(jnp.float32),
+        dimension_numbers=(((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    n2 = jnp.sum(neighbors * neighbors, axis=-1)
+    y2 = jnp.sum(kernel_pts * kernel_pts, axis=-1).astype(jnp.float32)
+    sq = jnp.maximum(n2[..., None] - 2.0 * cross + y2[None, None, None], 0.0)
+    if influence == "constant":
+        all_w = jnp.ones_like(sq)
+    elif influence == "linear":
+        all_w = jnp.maximum(1.0 - jnp.sqrt(sq) / kp_extent, 0.0)
+    elif influence == "gaussian":
+        sigma = kp_extent * 0.3
+        all_w = jnp.exp(-sq / (2.0 * sigma**2))
+    else:
+        raise ValueError(f"unknown KP influence {influence!r}")
+    if aggregation == "closest":
+        closest = jnp.argmin(sq, axis=-1)
+        all_w = all_w * jax.nn.one_hot(closest, kernel_pts.shape[0], dtype=all_w.dtype)
+    elif aggregation != "sum":
+        raise ValueError(f"unknown aggregation mode {aggregation!r}")
+    return all_w
+
+
 def kpconv_apply(
     q_pts: jnp.ndarray,
     s_pts: jnp.ndarray,
@@ -64,6 +119,7 @@ def kpconv_apply(
     compute_dtype: Any = jnp.float32,
     return_deform_aux: bool = False,
     use_pallas: bool = False,
+    precomputed_influence: Optional[jnp.ndarray] = None,
 ):
     """Kernel point convolution (blocks.py:237-374 forward, batched).
 
@@ -80,10 +136,38 @@ def kpconv_apply(
       aggregation: 'sum' | 'closest'.
       kp_offsets: optional (B, Nq, M, 3) deformable offsets added to the
         kernel point positions per query point.
+      precomputed_influence: optional (B, Nq, K, M) rigid influence weights
+        from :func:`rigid_influence` — shared by every rigid conv block at
+        a pyramid level. When given, the geometry pipeline is skipped
+        entirely (features-only gather + contraction); numerics are
+        identical because the same function computes it either way.
 
     Returns:
       (B, Nq, Cout).
     """
+    if (
+        precomputed_influence is not None
+        and kp_offsets is None
+        and not return_deform_aux
+    ):
+        nx = group_points(pad_shadow_row(x), neighb_inds)  # (B, Nq, K, Cin)
+        wf = jnp.einsum(
+            "bqkm,bqkc->bqmc",
+            precomputed_influence.astype(compute_dtype),
+            nx.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if kp_modulations is not None:
+            wf = wf * kp_modulations[..., :, None].astype(wf.dtype)
+        m, cin, cout = weights.shape
+        out = jax.lax.dot_general(
+            wf.reshape(wf.shape[0], wf.shape[1], m * cin).astype(compute_dtype),
+            weights.reshape(m * cin, cout).astype(compute_dtype),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(jnp.float32)
+
     s_pad = jnp.concatenate(
         [s_pts, jnp.full_like(s_pts[:, :1], 1e6)], axis=1
     )  # shadow support point at +1e6 (blocks.py:277)
@@ -134,17 +218,16 @@ def kpconv_apply(
         sq = jnp.sum(diff * diff, axis=-1)
     else:
         kp = kernel_pts[None, None, None].astype(jnp.float32)
+        # The geometry matmul is always f32/HIGHEST: its FLOPs are negligible
+        # next to the feature matmuls, and computing KP influence distances
+        # from bf16-rounded geometry gives percent-level weight error near
+        # kernel points (round-2 advisor finding).
         cross = jax.lax.dot_general(
-            neighbors.astype(compute_dtype),
-            kernel_pts.T.astype(compute_dtype),
+            neighbors.astype(jnp.float32),
+            kernel_pts.T.astype(jnp.float32),
             dimension_numbers=(((3,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            # keep f32 configs exact (TPU default would do bf16 passes)
-            precision=(
-                jax.lax.Precision.HIGHEST
-                if compute_dtype == jnp.float32
-                else jax.lax.Precision.DEFAULT
-            ),
+            precision=jax.lax.Precision.HIGHEST,
         )
         n2 = jnp.sum(neighbors * neighbors, axis=-1)
         y2 = jnp.sum(kernel_pts * kernel_pts, axis=-1).astype(jnp.float32)
@@ -318,12 +401,21 @@ class KPConvLayer(nn.Module):
                 (self.num_kernel_points * per_kp,),
             )
 
-    def __call__(self, q_pts, s_pts, neighb_inds, x, *, q_mask=None):
+    def __call__(
+        self, q_pts, s_pts, neighb_inds, x, *, q_mask=None,
+        precomputed_influence=None,
+    ):
         offsets = None
         modulations = None
         m = self.num_kernel_points
         if self.deformable:
-            off_feat = self.offset_conv(q_pts, s_pts, neighb_inds, x) + self.offset_bias
+            # the offset-predicting conv is rigid and shares the level's
+            # geometry, so it consumes the hoisted influence cache even
+            # though the deformed main conv cannot
+            off_feat = self.offset_conv(
+                q_pts, s_pts, neighb_inds, x,
+                precomputed_influence=precomputed_influence,
+            ) + self.offset_bias
             b, nq = off_feat.shape[:2]
             if self.modulated:
                 # first 3K features are offsets, last K are modulations
@@ -347,6 +439,9 @@ class KPConvLayer(nn.Module):
             compute_dtype=self.compute_dtype,
             return_deform_aux=self.deformable,
             use_pallas=self.use_pallas,
+            precomputed_influence=(
+                None if self.deformable else precomputed_influence
+            ),
         )
         if self.deformable:
             out, (min_d2, deformed_kp) = out
@@ -376,13 +471,14 @@ class SimpleBlock(nn.Module):
     cfg: Any  # KPConfig-like
 
     @nn.compact
-    def __call__(self, x, pyr, train: bool = False):
+    def __call__(self, x, pyr, train: bool = False, infl=None):
         extent = self.radius * self.cfg.kp_extent / self.cfg.conv_radius
         strided = "strided" in self.block_name
         l = self.layer_ind
         q = pyr.points[l + 1] if strided else pyr.points[l]
         inds = pyr.pools[l] if strided else pyr.neighbors[l]
         out_mask = pyr.masks[l + 1] if strided else pyr.masks[l]
+        pi = (infl or {}).get(("pool" if strided else "conv", l))
         conv = KPConvLayer(
             in_dim=self.in_dim,
             out_dim=self.out_dim // 2,
@@ -397,7 +493,8 @@ class SimpleBlock(nn.Module):
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
         )
-        x = conv(q, pyr.points[l], inds, x, q_mask=out_mask)
+        x = conv(q, pyr.points[l], inds, x, q_mask=out_mask,
+                 precomputed_influence=pi)
         x = MaskedBatchNorm(self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn")(
             x, out_mask, train
         )
@@ -415,13 +512,14 @@ class ResnetBottleneckBlock(nn.Module):
     cfg: Any
 
     @nn.compact
-    def __call__(self, x, pyr, train: bool = False):
+    def __call__(self, x, pyr, train: bool = False, infl=None):
         extent = self.radius * self.cfg.kp_extent / self.cfg.conv_radius
         strided = "strided" in self.block_name
         l = self.layer_ind
         q = pyr.points[l + 1] if strided else pyr.points[l]
         inds = pyr.pools[l] if strided else pyr.neighbors[l]
         out_mask = pyr.masks[l + 1] if strided else pyr.masks[l]
+        pi = (infl or {}).get(("pool" if strided else "conv", l))
         mid = self.out_dim // 4
 
         h = x
@@ -443,7 +541,8 @@ class ResnetBottleneckBlock(nn.Module):
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
             name="KPConv",
         )
-        h = conv(q, pyr.points[l], inds, h, q_mask=out_mask)
+        h = conv(q, pyr.points[l], inds, h, q_mask=out_mask,
+                 precomputed_influence=pi)
         h = MaskedBatchNorm(
             self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn_conv"
         )(h, out_mask, train)
@@ -492,22 +591,45 @@ class GlobalAverageBlock(nn.Module):
         return jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 
 
+def _maybe_remat(cls, block_name: str, cfg):
+    """Per-block rematerialization (cfg.remat == 'blocks'): recompute the
+    block's internals — the gathered (B, Nq, K, C) neighbor features and the
+    influence einsum — in the backward pass instead of saving them. Those
+    residuals are the training step's dominant HBM footprint (~hundreds of
+    MB per L0 block at bench shapes). Deformable blocks are left alone:
+    they sow 'intermediates' consumed by the fitting regularizer.
+    ``train`` (arg 3, with self at 0) is static."""
+    if getattr(cfg, "remat", "none") == "blocks" and "deform" not in block_name:
+        return nn.remat(cls, static_argnums=(3,))
+    return cls
+
+
 def block_decider(
-    block_name: str, radius: float, in_dim: int, out_dim: int, layer_ind: int, cfg
+    block_name: str, radius: float, in_dim: int, out_dim: int, layer_ind: int,
+    cfg, name: Optional[str] = None,
 ) -> nn.Module:
-    """Instantiate a block by architecture-list name (blocks.py:387-427)."""
+    """Instantiate a block by architecture-list name (blocks.py:387-427).
+
+    ``name`` pins the module name so the parameter tree is independent of
+    wrapper classes (nn.remat renames auto-named modules, which would make
+    checkpoints remat-dependent)."""
     if block_name == "unary":
-        return UnaryBlock(out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum)
+        return UnaryBlock(out_dim, cfg.use_batch_norm, cfg.batch_norm_momentum,
+                          name=name)
     if block_name in ("simple", "simple_deformable", "simple_strided",
                       "simple_deformable_strided"):
-        return SimpleBlock(block_name, in_dim, out_dim, radius, layer_ind, cfg)
+        cls = _maybe_remat(SimpleBlock, block_name, cfg)
+        return cls(block_name, in_dim, out_dim, radius, layer_ind, cfg,
+                   name=name)
     if block_name in ("resnetb", "resnetb_deformable", "resnetb_strided",
                       "resnetb_deformable_strided"):
-        return ResnetBottleneckBlock(block_name, in_dim, out_dim, radius, layer_ind, cfg)
+        cls = _maybe_remat(ResnetBottleneckBlock, block_name, cfg)
+        return cls(block_name, in_dim, out_dim, radius, layer_ind, cfg,
+                   name=name)
     if block_name == "nearest_upsample":
-        return NearestUpsampleBlock(layer_ind)
+        return NearestUpsampleBlock(layer_ind, name=name)
     if block_name == "max_pool" or block_name == "max_pool_wide":
-        return MaxPoolBlock(layer_ind)
+        return MaxPoolBlock(layer_ind, name=name)
     if block_name == "global_average":
-        return GlobalAverageBlock()
+        return GlobalAverageBlock(name=name)
     raise ValueError(f"unknown block name in architecture: {block_name!r}")

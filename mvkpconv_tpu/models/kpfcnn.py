@@ -66,6 +66,42 @@ def plan_architecture(cfg) -> Tuple[list, list, list]:
     return encoder, decoder, skip_dims
 
 
+def build_influence_cache(cfg, plans, pyr: Pyramid):
+    """Hoisted rigid KP influence weights, one per (conv|pool, level).
+
+    Every conv block at a pyramid level shares its geometry — the same
+    ``pyr.neighbors[l]`` (or ``pools[l]``), radius, extent and kernel point
+    layout — so the (B, Nq, K, M) influence tensor the reference recomputes
+    inside every KPConv forward (blocks.py:280-346) is computed ONCE here
+    and reused by all of them (including deformable blocks' rigid offset
+    convs). Stored in ``cfg.compute_dtype``, exactly the dtype the einsum
+    consumes, so numerics are unchanged. ``plans`` is an iterable of plan
+    lists (encoder(s) + decoder) from :func:`plan_architecture`.
+    """
+    from mvkpconv_tpu.models.kernel_points import kernel_point_positions
+
+    needed = {}
+    for plan in plans:
+        for name, _i, _o, r, layer, _c in plan:
+            if "simple" in name or "resnetb" in name:
+                kind = "pool" if "strided" in name else "conv"
+                needed[(kind, layer)] = r
+    cache = {}
+    for (kind, layer), r in sorted(needed.items()):
+        extent = r * cfg.kp_extent / cfg.conv_radius
+        kp = jnp.asarray(kernel_point_positions(r, cfg.num_kernel_points))
+        if kind == "pool":
+            q, inds = pyr.points[layer + 1], pyr.pools[layer]
+        else:
+            q, inds = pyr.points[layer], pyr.neighbors[layer]
+        all_w = B.rigid_influence(
+            q, pyr.points[layer], inds, kp, extent,
+            cfg.kp_influence, cfg.aggregation_mode,
+        )
+        cache[(kind, layer)] = all_w.astype(cfg.compute_dtype)
+    return cache
+
+
 class KPFCNNEncoder(nn.Module):
     """Encoder half; returns bottleneck features + skip features."""
 
@@ -73,7 +109,7 @@ class KPFCNNEncoder(nn.Module):
     plan: Tuple[tuple, ...]  # encoder plan entries
 
     @nn.compact
-    def __call__(self, x, pyr: Pyramid, train: bool = False):
+    def __call__(self, x, pyr: Pyramid, train: bool = False, infl=None):
         skips = []
         arch = list(self.cfg.architecture)
         for i, (name, in_dim, out_dim, r, layer, _) in enumerate(self.plan):
@@ -81,8 +117,12 @@ class KPFCNNEncoder(nn.Module):
             # (architectures.py:328-331)
             if any(t in name for t in ("pool", "strided")):
                 skips.append(x)
-            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg)
-            x = block(x, pyr, train)
+            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg,
+                                    name=f"block_{i}")
+            if isinstance(block, (B.SimpleBlock, B.ResnetBottleneckBlock)):
+                x = block(x, pyr, train, infl)
+            else:
+                x = block(x, pyr, train)
         return x, skips
 
 
@@ -93,13 +133,16 @@ class KPFCNNDecoder(nn.Module):
     plan: Tuple[tuple, ...]
 
     @nn.compact
-    def __call__(self, x, skips, pyr: Pyramid, train: bool = False):
-        for name, in_dim, out_dim, r, layer, concat in self.plan:
+    def __call__(self, x, skips, pyr: Pyramid, train: bool = False, infl=None):
+        for i, (name, in_dim, out_dim, r, layer, concat) in enumerate(self.plan):
             if concat:
                 x = jnp.concatenate([x, skips.pop()], axis=-1)
-            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg)
+            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg,
+                                    name=f"block_{i}")
             if isinstance(block, B.UnaryBlock):
                 x = block(x, pyr.masks[layer], train)
+            elif isinstance(block, (B.SimpleBlock, B.ResnetBottleneckBlock)):
+                x = block(x, pyr, train, infl)
             else:
                 x = block(x, pyr, train)
         return x
@@ -134,12 +177,17 @@ class KPCNN(nn.Module):
     @nn.compact
     def __call__(self, features, pyr: Pyramid, train: bool = False):
         enc, _, _ = plan_architecture(self.cfg)
+        infl = build_influence_cache(self.cfg, (enc,), pyr)
         x = features
-        for name, in_dim, out_dim, r, layer, _ in enc:
+        for i, (name, in_dim, out_dim, r, layer, _) in enumerate(enc):
             if "global" in name:
                 continue  # applied once below
-            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg)
-            x = block(x, pyr, train)
+            block = B.block_decider(name, r, in_dim, out_dim, layer, self.cfg,
+                                    name=f"block_{i}")
+            if isinstance(block, (B.SimpleBlock, B.ResnetBottleneckBlock)):
+                x = block(x, pyr, train, infl)
+            else:
+                x = block(x, pyr, train)
         x = B.GlobalAverageBlock()(x, pyr, train)  # (B, C)
         x = B.UnaryBlock(1024, use_bn=False, name="head_mlp")(x, None, train)
         x = nn.Dense(self.cfg.num_classes, name="head_softmax")(x)
@@ -157,11 +205,13 @@ class KPFCNN(nn.Module):
 
     def setup(self):
         enc, dec, _ = plan_architecture(self.cfg)
+        self._plans = (tuple(enc), tuple(dec))
         self.encoder = KPFCNNEncoder(self.cfg, tuple(enc), name="encoder")
         self.decoder = KPFCNNDecoder(self.cfg, tuple(dec), name="decoder")
         self.head = KPFCNNHead(self.cfg, name="head")
 
     def __call__(self, features, pyr: Pyramid, train: bool = False):
-        x, skips = self.encoder(features, pyr, train)
-        x = self.decoder(x, skips, pyr, train)
+        infl = build_influence_cache(self.cfg, self._plans, pyr)
+        x, skips = self.encoder(features, pyr, train, infl=infl)
+        x = self.decoder(x, skips, pyr, train, infl=infl)
         return self.head(x, pyr.masks[0], train)

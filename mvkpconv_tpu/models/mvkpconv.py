@@ -35,6 +35,7 @@ from mvkpconv_tpu.models.kpfcnn import (
     KPFCNNDecoder,
     KPFCNNEncoder,
     KPFCNNHead,
+    build_influence_cache,
     plan_architecture,
 )
 from mvkpconv_tpu.ops import group_points, points_to_pixel_knn, unproject_depth
@@ -157,22 +158,28 @@ class MVKPConv(nn.Module):
             feat_2d3d = self.lift_2d_features(batch, points0, train)
         base = batch["features"]
 
+        # one hoisted influence cache shared by every rigid conv block (and
+        # by both middle-fusion encoders — identical geometry per level)
+        infl = build_influence_cache(
+            cfg, (self.encoder.plan, self.decoder.plan), pyr
+        )
         if cfg.fusion == "early":
             x = jnp.concatenate([base, feat_2d3d], axis=-1)
-            x, skips = self.encoder(x, pyr, train)
-            x = self.decoder(x, skips, pyr, train)
+            x, skips = self.encoder(x, pyr, train, infl=infl)
+            x = self.decoder(x, skips, pyr, train, infl=infl)
         elif cfg.fusion == "middle":
-            x3d, skips3d = self.encoder(base, pyr, train)
+            x3d, skips3d = self.encoder(base, pyr, train, infl=infl)
             ones = jnp.ones_like(feat_2d3d[..., :1])
             x2d, skips2d = self.encoder_2d(
-                jnp.concatenate([ones, feat_2d3d], axis=-1), pyr, train
+                jnp.concatenate([ones, feat_2d3d], axis=-1), pyr, train,
+                infl=infl,
             )
             x = 0.5 * (x3d + x2d)
             skips = [jnp.concatenate([a, b], axis=-1) for a, b in zip(skips3d, skips2d)]
-            x = self.decoder(x, skips, pyr, train)
+            x = self.decoder(x, skips, pyr, train, infl=infl)
         else:  # late
-            x, skips = self.encoder(base, pyr, train)
-            x = self.decoder(x, skips, pyr, train)
+            x, skips = self.encoder(base, pyr, train, infl=infl)
+            x = self.decoder(x, skips, pyr, train, infl=infl)
             x = jnp.concatenate([x, feat_2d3d], axis=-1)
         return self.head(x, pyr.masks[0], train)
 

@@ -174,3 +174,32 @@ def test_mvpnet_frozen_2d_blocks_grads(rng):
     assert all(float(jnp.abs(x).max()) == 0.0 for x in g2d)
     g3d = jax.tree_util.tree_leaves(g["net_3d"])
     assert max(float(jnp.abs(x).max()) for x in g3d) > 0
+
+
+def test_hoisted_influence_matches_inline():
+    """kpconv_apply with a precomputed rigid_influence cache must match the
+    self-contained path exactly (same formula, computed once — the hoisting
+    that lets every rigid conv block at a pyramid level share the weights)."""
+    import numpy as np
+
+    from mvkpconv_tpu.models.blocks import kpconv_apply, rigid_influence
+
+    rng = np.random.RandomState(3)
+    b, n, k, m, cin, cout = 2, 64, 8, 15, 6, 5
+    q = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, n + 1, (b, n, k)), jnp.int32)  # incl shadow
+    x = jnp.asarray(rng.randn(b, n, cin), jnp.float32)
+    kp = jnp.asarray(rng.randn(m, 3), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(m, cin, cout), jnp.float32) * 0.1
+    ext = 0.5
+    for influence in ("linear", "gaussian"):
+        for agg in ("sum", "closest"):
+            ref = kpconv_apply(q, q, idx, x, kp, w, ext, influence, agg)
+            allw = rigid_influence(q, q, idx, kp, ext, influence, agg)
+            got = kpconv_apply(
+                q, q, idx, x, kp, w, ext, influence, agg,
+                precomputed_influence=allw,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
+            )
