@@ -91,6 +91,8 @@ class KPConfig:
     # ----- deformable regularizer -----
     deform_fitting_power: float = 1.0
     repulse_extent: float = 1.2
+    # LR multiplier on deformable-offset params (trainer.py:72-79 uses 0.1)
+    deform_lr_factor: float = 0.1
 
     # ----- training -----
     max_epoch: int = 500
@@ -141,6 +143,11 @@ class KPConfig:
     # pattern well; the kernel's per-KP small matmuls underutilize the MXU).
     # Kept as groundwork — see ops/pallas/kpconv.py.
     use_pallas_kpconv: bool = False
+    # rematerialization policy for the training step: 'none' | 'blocks'
+    # (per-conv-block nn.remat — recompute gathered neighbor features and
+    # the influence einsum in the backward pass instead of saving them;
+    # deformable blocks are exempt because they sow intermediates).
+    remat: str = "none"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 

@@ -41,10 +41,14 @@ def _path_label(path, frozen_prefixes, deform_keywords) -> str:
 def make_optimizer(
     cfg,
     frozen_prefixes: Sequence[str] = (),
-    deform_lr_factor: float = 0.1,
+    deform_lr_factor: float = None,
 ) -> optax.GradientTransformation:
     """SGD+momentum with value clipping, LR schedule, freezing and the
-    reference's reduced LR on deformable-offset params (trainer.py:72-79)."""
+    reference's reduced LR on deformable-offset params (trainer.py:72-79,
+    ``deform_lr_factor`` 0.1 by default; overridable per-config for the
+    deformable hyperparameter sweep)."""
+    if deform_lr_factor is None:
+        deform_lr_factor = getattr(cfg, "deform_lr_factor", 0.1)
     sched = lr_schedule(cfg)
 
     def sgd(scale: float):
