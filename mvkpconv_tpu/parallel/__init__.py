@@ -7,6 +7,11 @@ from mvkpconv_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from mvkpconv_tpu.parallel.multihost import (
+    global_batch_from_local,
+    local_batch_size,
+    shard_scenes,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +19,7 @@ __all__ = [
     "model_sharding",
     "replicated",
     "shard_batch",
+    "shard_scenes",
+    "local_batch_size",
+    "global_batch_from_local",
 ]

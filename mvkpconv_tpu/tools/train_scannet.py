@@ -73,8 +73,19 @@ def main(argv=None):
     val_scenes = load_scenes(val_spec, with_views, cfg.num_views,
                              (cfg.image_height, cfg.image_width), seed_offset=100)
 
-    ds = SphereDataset(scenes, cfg, training=True, seed=args.seed)
-    val_ds = SphereDataset(val_scenes, cfg, training=False, seed=args.seed + 1)
+    # Multi-host DP is a config change, not a code change (SURVEY §5): each
+    # process owns a scene slice + samples its slice of the global batch;
+    # the Trainer assembles the globally-sharded array per step.
+    local_b = cfg.batch_num
+    if jax.process_count() > 1:
+        from mvkpconv_tpu.parallel import local_batch_size, shard_scenes
+
+        scenes = shard_scenes(scenes)
+        val_scenes = shard_scenes(val_scenes)
+        local_b = local_batch_size(cfg.batch_num)
+    host_seed = args.seed + 1000 * jax.process_index()
+    ds = SphereDataset(scenes, cfg, training=True, seed=host_seed)
+    val_ds = SphereDataset(val_scenes, cfg, training=False, seed=host_seed + 1)
 
     kind = "kpfcnn" if fusion == "none" else "mvkpconv"
     model = (
@@ -117,9 +128,17 @@ def main(argv=None):
             artifact_dir=Path(args.output) / "val_preds",
         )
 
-    trainer = Trainer(step, state, args.output, cfg, eval_fn=eval_fn)
+    mesh = None
+    if jax.process_count() > 1:
+        from mvkpconv_tpu.parallel import make_mesh
+
+        mesh = make_mesh()  # spans jax.devices() across all processes
+    trainer = Trainer(step, state, args.output, cfg, mesh=mesh, eval_fn=eval_fn)
     trainer.maybe_resume()
-    trainer.fit((device_batch(b) for b in ds.batches()), max_steps=args.steps)
+    trainer.fit(
+        (device_batch(b) for b in ds.batches(batch_size=local_b)),
+        max_steps=args.steps,
+    )
 
 
 if __name__ == "__main__":

@@ -133,7 +133,15 @@ class Trainer:
                 break
             data_time = time.time() - t_data
             if self.mesh is not None:
-                batch = shard_batch(batch, self.mesh)
+                if jax.process_count() > 1:
+                    # multi-host: this process's batches iterator yields the
+                    # LOCAL slice (local_batch_size spheres over its
+                    # shard_scenes slice); assemble the global jax.Array
+                    from mvkpconv_tpu.parallel import global_batch_from_local
+
+                    batch = global_batch_from_local(batch, self.mesh)
+                else:
+                    batch = shard_batch(batch, self.mesh)
             t0 = time.time()
             self.state, stats = self.train_step(self.state, batch)
             stats = {k: float(np.asarray(v)) for k, v in stats.items()}

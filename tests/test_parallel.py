@@ -150,3 +150,72 @@ def test_2d_mesh_data_model_matches_single_device():
         jax.tree_util.tree_leaves(jax.device_get(state2.params)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_shard_scenes_and_local_batch():
+    from mvkpconv_tpu.parallel import local_batch_size, shard_scenes
+
+    scenes = list(range(5))
+    s0 = shard_scenes(scenes, 0, 2)
+    s1 = shard_scenes(scenes, 1, 2)
+    assert sorted(s0 + s1) == scenes and not (set(s0) & set(s1))
+    assert abs(len(s0) - len(s1)) <= 1
+    with pytest.raises(ValueError):
+        shard_scenes([1], 1, 2)  # host 1 would own nothing
+    with pytest.raises(ValueError):
+        shard_scenes(scenes, 2, 2)
+    assert local_batch_size(8, 2) == 4
+    with pytest.raises(ValueError):
+        local_batch_size(5, 2)
+
+
+@pytest.mark.slow
+def test_two_simulated_host_shards_train_on_mesh():
+    """Simulate the N-host data path in one process: two scene-sharded
+    SphereDatasets each sample half the global batch; the concatenated
+    batch trains on the 8-device mesh. (Real multi-host replaces the
+    concatenation with jax.make_array_from_process_local_data — see
+    parallel/multihost.py; the jitted step is identical.)"""
+    cfg = KPConfig(
+        num_points=(256, 64),
+        conv_neighbors=(10, 10),
+        pool_neighbors=(10,),
+        architecture=("simple", "resnetb_strided", "nearest_upsample", "unary"),
+        in_radius=1.0,
+        first_subsampling_dl=0.1,
+        in_features_dim=2,
+        first_features_dim=16,
+        num_classes=20,
+        batch_num=8,
+    )
+    from mvkpconv_tpu.parallel import local_batch_size, shard_scenes
+
+    scenes = [synthetic.make_scene(seed=s, num_points=8000) for s in range(3)]
+    lb = local_batch_size(cfg.batch_num, 2)
+    hosts = [
+        SphereDataset(shard_scenes(scenes, pi, 2), cfg, training=True,
+                      seed=1000 * pi)
+        for pi in range(2)
+    ]
+    # each "host" samples its local slice; potentials are host-local state
+    locals_ = [device_batch(h.sample_batch(lb)) for h in hosts]
+    batch = {k: np.concatenate([lb_[k] for lb_ in locals_]) for k in locals_[0]}
+    assert batch["points"].shape[0] == cfg.batch_num
+
+    model = KPFCNN(cfg)
+    pyr = build_pyramid(
+        jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]),
+        cfg.pyramid_spec(),
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(batch["features"]), pyr
+    )
+    tx = make_optimizer(cfg)
+    mesh = make_mesh()
+    step = make_train_step(make_apply_fn(model, cfg, "kpfcnn"), tx, cfg,
+                           donate=False)
+    state = jax.device_put(create_train_state(variables, tx), replicated(mesh))
+    sbatch = shard_batch(batch, mesh)
+    state, stats = step(state, sbatch)
+    assert np.isfinite(float(stats["loss"]))
+    assert int(np.asarray(state.step)) == 1
