@@ -181,6 +181,17 @@ class SensReader:
         self.f.close()
 
 
+# Known-problematic sensor frames (depth all-zero or unreadable labels),
+# ported from the reference's blacklist (mvpnet/data/scannet_2d3d.py:53-58
+# ``exclude_frames``). Frame ids are ints here (our frame_ids convention).
+EXCLUDE_FRAMES = {
+    "scene0243_00": tuple(range(1175, 1185)),
+    "scene0538_00": (1925, 1928, 1929, 1931, 1932, 1933),
+    "scene0639_00": (442, 443, 444),
+    "scene0299_01": (1512,),
+}
+
+
 def load_frames(
     frames_dir,
     frame_ids: Sequence[int],
@@ -188,6 +199,9 @@ def load_frames(
     label_dir: Optional[str] = None,
     label_lut: Optional[np.ndarray] = None,
     label_mapping_tsv=None,
+    scan_id: Optional[str] = None,
+    exclude: Optional[Sequence[int]] = None,
+    skip_bad: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Load extracted color/depth/pose frames from the SensReader layout
     (color/<id>.jpg, depth/<id>.png uint16 mm, pose/<id>.txt,
@@ -200,35 +214,67 @@ def load_frames(
     pass ``label_mapping_tsv`` (path to scannetv2-labels.combined.tsv) for
     those, mirroring scannet_2d.py:86-104. Without it, pngs are assumed to
     already carry nyu40 ids (e.g. scannet_frames_25k), and ids > 40 raise
-    rather than silently corrupting supervision."""
+    rather than silently corrupting supervision.
+
+    Robustness (reference parity: the ``exclude_frames`` blacklist of
+    scannet_2d3d.py:53-58 plus preprocess.py:137-140's invalid-pose skip):
+    frames in ``exclude`` — defaulting to :data:`EXCLUDE_FRAMES`[scan_id]
+    when ``scan_id`` is given — are dropped up front, and with ``skip_bad``
+    (default) any frame that fails to decode, has an all-zero depth map, or
+    a non-finite pose is skipped with a logged warning instead of poisoning
+    the pipeline. The surviving ids are returned as ``out['frame_ids']``;
+    an empty survivor set raises."""
+    import logging
+
     from PIL import Image
 
+    log = logging.getLogger(__name__)
     frames_dir = Path(frames_dir)
     K = np.loadtxt(frames_dir / "intrinsic" / "intrinsic_depth.txt")[:3, :3]
-    rgbs, depths, poses, Ks, labels = [], [], [], [], []
+    if exclude is None and scan_id is not None:
+        exclude = EXCLUDE_FRAMES.get(scan_id, ())
+    excluded = set(int(e) for e in exclude) if exclude else set()
+    rgbs, depths, poses, Ks, labels, kept = [], [], [], [], [], []
     if label_mapping_tsv is not None:
         lut = compose_raw_to_train_lut(parse_label_mapping_tsv(label_mapping_tsv))
     else:
         lut = label_lut if label_lut is not None else nyu40_to_train_ids()
     for fid in frame_ids:
-        rgb = Image.open(frames_dir / "color" / f"{fid}.jpg")
-        dep = Image.open(frames_dir / "depth" / f"{fid}.png")
-        k = K.copy()
-        if resize_hw is not None:
-            h, w = resize_hw
-            k[0] *= w / dep.size[0]
-            k[1] *= h / dep.size[1]
-            rgb = rgb.resize((w, h), Image.BILINEAR)
-            dep = dep.resize((w, h), Image.NEAREST)
-        rgbs.append(np.asarray(rgb, np.float32) / 255.0)
-        depths.append(np.asarray(dep, np.float32) / 1000.0)
-        poses.append(np.loadtxt(frames_dir / "pose" / f"{fid}.txt").astype(np.float32))
-        Ks.append(k.astype(np.float32))
-        if label_dir is not None:
-            lab = Image.open(Path(label_dir) / f"{fid}.png")
+        if int(fid) in excluded:
+            log.warning("frame %s excluded by blacklist", fid)
+            continue
+        try:
+            rgb = Image.open(frames_dir / "color" / f"{fid}.jpg")
+            dep = Image.open(frames_dir / "depth" / f"{fid}.png")
+            k = K.copy()
             if resize_hw is not None:
-                lab = lab.resize((resize_hw[1], resize_hw[0]), Image.NEAREST)
-            raw = np.asarray(lab, np.int64)
+                h, w = resize_hw
+                k[0] *= w / dep.size[0]
+                k[1] *= h / dep.size[1]
+                rgb = rgb.resize((w, h), Image.BILINEAR)
+                dep = dep.resize((w, h), Image.NEAREST)
+            rgb_a = np.asarray(rgb, np.float32) / 255.0
+            dep_a = np.asarray(dep, np.float32) / 1000.0
+            pose = np.loadtxt(frames_dir / "pose" / f"{fid}.txt").astype(np.float32)
+            if not np.any(dep_a > 0):
+                raise ValueError("depth map is zero everywhere")
+            if pose.shape != (4, 4) or not np.all(np.isfinite(pose)):
+                raise ValueError("invalid camera pose")
+            raw = None
+            if label_dir is not None:
+                lab = Image.open(Path(label_dir) / f"{fid}.png")
+                if resize_hw is not None:
+                    lab = lab.resize((resize_hw[1], resize_hw[0]), Image.NEAREST)
+                raw = np.asarray(lab, np.int64)
+        except Exception as exc:  # corrupt frame: skip-and-log, or re-raise
+            if not skip_bad:
+                raise
+            log.warning("skipping bad frame %s: %s", fid, exc)
+            continue
+        lab_row = None
+        if raw is not None:
+            # a systematic id-convention mismatch, not per-frame corruption —
+            # always raise (it would silently corrupt ALL supervision)
             if label_mapping_tsv is None and raw.max(initial=0) > 40:
                 raise ValueError(
                     f"2D label png {fid}.png carries ids > 40 — these are raw "
@@ -237,12 +283,24 @@ def load_frames(
                 )
             in_range = (raw >= 0) & (raw < len(lut))
             mapped = lut[np.clip(raw, 0, len(lut) - 1)].astype(np.int32)
-            labels.append(np.where(in_range, mapped, -1))
+            lab_row = np.where(in_range, mapped, -1)
+        rgbs.append(rgb_a)
+        depths.append(dep_a)
+        poses.append(pose)
+        Ks.append(k.astype(np.float32))
+        kept.append(int(fid))
+        if lab_row is not None:
+            labels.append(lab_row)
+    if not kept:
+        raise ValueError(
+            f"no usable frames among {list(frame_ids)!r} in {frames_dir}"
+        )
     out = {
         "rgb": np.stack(rgbs),
         "depth": np.stack(depths),
         "poses": np.stack(poses),
         "intrinsics": np.stack(Ks),
+        "frame_ids": np.asarray(kept, np.int64),
     }
     if labels:
         out["label"] = np.stack(labels)

@@ -164,3 +164,64 @@ def test_load_frames_raw_id_labels(tmp_path):
         scannet_io.load_frames(
             frames, [0], resize_hw=None, label_dir=labels_dir,
         )
+
+
+def test_load_frames_skips_corrupt_and_blacklisted(tmp_path, caplog):
+    """Corrupt-frame robustness (reference parity: exclude_frames blacklist,
+    mvpnet/data/scannet_2d3d.py:53-58, + invalid-pose skip,
+    preprocess.py:137-140): truncated jpeg / all-zero depth / non-finite
+    pose / blacklisted frames are skipped with a warning; survivors are
+    reported in out['frame_ids']; an empty survivor set raises."""
+    import logging
+
+    from PIL import Image
+
+    frames = tmp_path / "frames"
+    for sub in ("color", "depth", "pose", "intrinsic"):
+        (frames / sub).mkdir(parents=True)
+    np.savetxt(frames / "intrinsic" / "intrinsic_depth.txt", np.eye(4))
+    h, w = 8, 10
+
+    def put(fid, *, color=True, depth_val=1000, pose=None):
+        if color:
+            Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(
+                frames / "color" / f"{fid}.jpg"
+            )
+        else:  # truncated / undecodable jpeg
+            (frames / "color" / f"{fid}.jpg").write_bytes(b"\xff\xd8broken")
+        Image.fromarray(np.full((h, w), depth_val, np.uint16)).save(
+            frames / "depth" / f"{fid}.png"
+        )
+        p = np.eye(4) if pose is None else pose
+        np.savetxt(frames / "pose" / f"{fid}.txt", p)
+
+    put(0)                                   # good
+    put(1, color=False)                      # undecodable jpeg
+    put(2, depth_val=0)                      # depth zero everywhere
+    bad_pose = np.eye(4)
+    bad_pose[0, 0] = np.inf                  # ScanNet writes inf poses for
+    put(3, pose=bad_pose)                    # untracked frames
+    put(4)                                   # good but blacklisted
+
+    with caplog.at_level(logging.WARNING, "mvkpconv_tpu.data.scannet_io"):
+        out = scannet_io.load_frames(
+            frames, [0, 1, 2, 3, 4], resize_hw=None, exclude=[4]
+        )
+    np.testing.assert_array_equal(out["frame_ids"], [0])
+    assert out["rgb"].shape[0] == 1 and out["depth"].shape[0] == 1
+    assert len(caplog.records) == 4  # one warning per dropped frame
+
+    # scan_id consults the built-in reference blacklist
+    put(1175)
+    out = scannet_io.load_frames(
+        frames, [0, 1175], resize_hw=None, scan_id="scene0243_00"
+    )
+    np.testing.assert_array_equal(out["frame_ids"], [0])
+
+    # nothing survives -> raise, never an empty stack
+    with np.testing.assert_raises(ValueError):
+        scannet_io.load_frames(frames, [1, 2], resize_hw=None)
+
+    # skip_bad=False propagates the decode error
+    with np.testing.assert_raises(Exception):
+        scannet_io.load_frames(frames, [1], resize_hw=None, skip_bad=False)
