@@ -142,16 +142,37 @@ def main():
             )
         )
         scenes.append(scene)
-    ds = SphereDataset(scenes, cfg, training=False)
-    ds.sample_batch()  # warm caches
-    host_batches = 6
-    t0 = time.perf_counter()
-    for _ in range(host_batches):
-        hb = ds.sample_batch()
-    del hb
-    host_dt = (time.perf_counter() - t0) / host_batches
-    host_rate = points_per_batch / host_dt
+    def host_rate_for(training: bool) -> float:
+        ds = SphereDataset(scenes, cfg, training=training)
+        ds.sample_batch()  # warm caches
+        host_batches = 6
+        t0 = time.perf_counter()
+        for _ in range(host_batches):
+            hb = ds.sample_batch()
+        del hb
+        host_dt = (time.perf_counter() - t0) / host_batches
+        return points_per_batch / host_dt
+
+    # inference host path AND the training host path (augmentation +
+    # pose composition + color drop — the extra work training does), so the
+    # "host ≫ device" claim covers the path that matters (round-2 VERDICT)
+    host_rate = host_rate_for(training=False)
+    host_rate_train = host_rate_for(training=True)
     sustained = min(value, host_rate)
+
+    # MFU accounting: XLA's own cost analysis of the compiled inference
+    # program (the principled FLOP count — includes UNet convs, KPConv
+    # einsums, pyramid distance matmuls; model documented in RESULTS.md).
+    # v5e bf16 peak: 394 TFLOP/s.
+    try:
+        cost = jax.jit(infer).lower(variables, batch).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost.get("flops", 0.0))
+    except Exception:
+        flops_per_step = 0.0
+    peak = 394e12
+    mfu = (flops_per_step / dt) / peak if flops_per_step else None
 
     baseline = 1.0e5  # estimated reference points/sec (see module docstring)
     print(
@@ -162,8 +183,11 @@ def main():
                 "unit": "points/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
                 "host_pipeline_points_per_sec": round(host_rate, 1),
+                "host_pipeline_train_points_per_sec": round(host_rate_train, 1),
                 "host_inclusive_points_per_sec": round(sustained, 1),
                 "train_points_per_sec": round(train_rate, 1),
+                "flops_per_step": flops_per_step,
+                "mfu": round(mfu, 5) if mfu is not None else None,
             }
         )
     )

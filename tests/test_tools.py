@@ -112,3 +112,23 @@ def test_preprocess_cli(tmp_path, rng):
     assert (tmp_path / "out.pkl").exists()
     w = np.loadtxt(tmp_path / "w.txt")
     assert w.shape == (20,)
+
+
+def test_measure_variants_two_stage_tiny(tmp_path):
+    """The two-stage protocol wiring (pretrain 2D once -> inject frozen into
+    fusion + mvpnet variants) end-to-end at CI shapes."""
+    import json
+
+    from mvkpconv_tpu.tools import measure_variants
+
+    measure_variants.main([
+        "--tiny", "--steps", "2", "--steps-2d", "2",
+        "--train-scenes", "1", "--val-scenes", "1",
+        "--only", "kpconv_baseline,mvkpconv_early,mvpnet",
+        "--out", str(tmp_path),
+    ])
+    res = json.loads((tmp_path / "results.json").read_text())
+    assert set(res) == {"kpconv_baseline", "mvkpconv_early", "mvpnet"}
+    assert res["kpconv_baseline"]["protocol"] == "3d_only"
+    assert res["mvkpconv_early"]["protocol"] == "two_stage_frozen_2d"
+    assert res["mvpnet"]["protocol"] == "two_stage_frozen_2d"
