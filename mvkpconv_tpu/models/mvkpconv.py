@@ -118,6 +118,7 @@ class MVKPConv(nn.Module):
             knn_idx = points_to_pixel_knn_projective(
                 points, image_xyz, batch["intrinsics"], batch["poses"],
                 self.cfg.pixel_knn, window=self.cfg.pixel_window,
+                method=getattr(self.cfg, "pixel_select", "approx"),
                 patch_dtype=jnp.dtype(
                     getattr(self.cfg, "pixel_patch_dtype", "float32")
                 ),

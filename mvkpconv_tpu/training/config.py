@@ -83,6 +83,10 @@ class KPConfig:
     # all pixels like the reference's CPU ball-tree
     pixel_assoc: str = "projective"
     pixel_window: int = 7
+    # projective-window selection: 'minext' (single-stage exact k-round
+    # argmin extraction — fastest and exact), 'approx' (per-view
+    # approx_min_k + merge), 'exact' (per-view top_k + merge)
+    pixel_select: str = "approx"
     # im2col patch storage dtype for the projective association ('bfloat16'
     # halves the dominant patch-gather HBM cost; selection-only — relation
     # features always use full-precision pixel positions)

@@ -66,3 +66,35 @@ def test_pixel_knn_ignores_invalid_pixels():
     flat_valid = np.asarray(valid).reshape(1, -1)
     # selected pixels must be valid wherever any valid pixel exists
     assert flat_valid[0][idx[0]].all()
+
+
+def test_pixel_knn_minext_matches_per_view_exact():
+    """'minext' (single-stage k-round argmin extraction) must select the
+    same pixel set as the per-view 'exact' top_k + merge path — it is the
+    same mathematical selection, restructured for the TPU (no sorts)."""
+    scene = synthetic.make_scene(seed=7, num_points=30000)
+    views = synthetic.render_views(scene, 3, 48, 64, seed=7)
+    rng = np.random.RandomState(7)
+    pts = scene["points"][rng.choice(len(scene["points"]), 256, replace=False)]
+    image_xyz, _ = unproject_depth(
+        jnp.asarray(views["depth"][None]),
+        jnp.asarray(views["intrinsics"][None]),
+        jnp.asarray(views["poses"][None]),
+    )
+    P = jnp.asarray(pts[None])
+    K = jnp.asarray(views["intrinsics"][None])
+    T = jnp.asarray(views["poses"][None])
+    ex = np.asarray(points_to_pixel_knn_projective(
+        P, image_xyz, K, T, 3, window=7, method="exact"))
+    got = np.asarray(points_to_pixel_knn_projective(
+        P, image_xyz, K, T, 3, window=7, method="minext"))
+    flat = np.asarray(image_xyz).reshape(-1, 3)
+    # same SELECTED DISTANCES everywhere (index sets can differ on exact
+    # distance ties; distances must match to float precision)
+    d_ex = np.sort(np.linalg.norm(flat[ex[0]] - pts[:, None], axis=-1), -1)
+    d_mx = np.sort(np.linalg.norm(flat[got[0]] - pts[:, None], axis=-1), -1)
+    np.testing.assert_allclose(d_mx, d_ex, rtol=1e-5, atol=1e-6)
+    # and the vast majority of index sets are identical
+    same = np.mean([len(set(ex[0, i]) & set(got[0, i])) / 3.0
+                    for i in range(len(pts))])
+    assert same > 0.99
