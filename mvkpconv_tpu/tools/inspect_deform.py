@@ -38,8 +38,6 @@ DEFORM_DEEPER = (
     "unary",
     "nearest_upsample",
     "unary",
-    "nearest_upsample",
-    "unary",
 )
 
 

@@ -132,3 +132,14 @@ def test_measure_variants_two_stage_tiny(tmp_path):
     assert res["kpconv_baseline"]["protocol"] == "3d_only"
     assert res["mvkpconv_early"]["protocol"] == "two_stage_frozen_2d"
     assert res["mvpnet"]["protocol"] == "two_stage_frozen_2d"
+
+
+def test_inspect_deform_cli(tmp_path):
+    from mvkpconv_tpu.tools import inspect_deform
+
+    inspect_deform.main([
+        "--data", "synthetic:1", "--output", str(tmp_path / "deform"),
+    ])
+    out = tmp_path / "deform"
+    assert (out / "deform_stats.json").exists()
+    assert list(out.glob("deform_layer*.ply"))
