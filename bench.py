@@ -60,14 +60,16 @@ def main():
         logits = model.apply(variables, batch, pyr, train=False)
         return jnp.sum(logits)
 
-    iters = 8
+    iters = 32
 
     @jax.jit
     def timed(variables, batch):
         # Run the whole timed loop inside one XLA program (the dev
         # environment reaches the TPU through a relay whose round-trip
-        # latency would otherwise dominate per-call timings), and CHAIN the
-        # iterations: each step's input is perturbed by the previous
+        # latency would otherwise dominate per-call timings — measured
+        # ~28 ms per synced dispatch, i.e. +3.5 ms/iter at iters=8, which
+        # is why iters=32: the relay tax drops below 1 ms/iter), and CHAIN
+        # the iterations: each step's input is perturbed by the previous
         # checksum, so XLA cannot hoist the loop-invariant body out of the
         # loop (LICM would otherwise run the step once regardless of the
         # trip count and inflate the result by `iters`×).

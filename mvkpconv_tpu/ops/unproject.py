@@ -149,10 +149,12 @@ def points_to_pixel_knn_projective(
       image_xyz: (B, V, H, W, 3) unprojected pixels (SHADOW where invalid).
       intrinsics: (B, V, 3, 3); poses: (B, V, 4, 4) cam-to-world.
       k: neighbors; window: candidate window side per view.
-      method: 'minext' (single-stage exact k-round argmin extraction over
-        all V·window² candidates — the fastest AND exact path on TPU),
-        'approx' (per-view approx_min_k + exact merge) or 'exact'
-        (per-view top_k + exact merge).
+      method: 'pallas' (fused VPU kernel — d² + packed top-k extraction +
+        in-kernel index decode, exact up to a 2⁻¹⁴ distance quantization;
+        falls back to 'minext' off-TPU), 'minext' (single-stage k-round
+        argmin extraction over all V·window² candidates), 'approx'
+        (per-view approx_min_k + exact merge) or 'exact' (per-view top_k +
+        exact merge).
       patch_dtype: storage dtype for the im2col patch image (None keeps
         ``image_xyz.dtype``). ``bfloat16`` halves the patch-gather bytes —
         the step's largest single HBM cost at window 9 — and only perturbs
@@ -175,15 +177,59 @@ def points_to_pixel_knn_projective(
     # im2col: patches[y, x] = the (window, window) block anchored at (y, x)
     hp, wp = h - window + 1, w - window + 1
     img = image_xyz if patch_dtype is None else image_xyz.astype(patch_dtype)
+
+    anchor = iv0 * wp + iu0  # (B, V, N), anchors are in-bounds by clipping
+    bv_base = (jnp.arange(b * v, dtype=jnp.int32) * (hp * wp)).reshape(b, v, 1)
+
+    if method == "pallas":
+        from mvkpconv_tpu.ops.pallas.pixel_select import pallas_supported
+
+        if not pallas_supported():
+            # CPU backends: XLA selection (same policy as the pyramid's
+            # binmin fallback); the kernel's interpret mode is exercised
+            # by tests/test_pixel_select.py, not production
+            method = "minext"
+    if method == "pallas":
+        # fused VPU selection: d² + packed top-k extraction in one kernel
+        # (selection cost in the XLA paths is per-row sort/bin overhead).
+        # Patch build runs on PLANAR single-coordinate images: the (tiny)
+        # (B,V,H,W,3)→(B·V·3,H,W) transpose first, so the window² stack
+        # writes are wide contiguous planes, then one row-major transpose
+        # of the patch image — measured ~4.5 ms faster end-to-end than
+        # stacking the channel-last slices directly into row layout.
+        from mvkpconv_tpu.ops.pallas.pixel_select import pixel_topk_indices
+
+        planar = jnp.transpose(img, (0, 1, 4, 2, 3)).reshape(b * v * 3, h, w)
+        pshifts = [
+            planar[:, dy : dy + hp, dx : dx + wp]
+            for dy in range(window)
+            for dx in range(window)
+        ]
+        pt = jnp.stack(pshifts, axis=1)  # (B·V·3, ww, hp, wp)
+        patches = (
+            pt.reshape(b * v, 3, ww, hp, wp)
+            .transpose(0, 3, 4, 1, 2)
+            .reshape(b * v * hp * wp, 3 * ww)
+        )  # per-view planar rows [x₀..x_{ww-1}, y…, z…] — the lane order
+        # the selection kernel slices coordinate planes from
+        flat_rows = (anchor + bv_base).transpose(0, 2, 1).reshape(-1)
+        rows = jnp.take(patches, flat_rows, axis=0)  # (B·N·V, 3·ww)
+        cand = rows.reshape(b, n, v * 3 * ww)
+        # anchors ride into the kernel (iv0 << 16 | iu0) so the winning
+        # slots decode to flat pixel indices in-kernel — the XLA-side
+        # take_along_axis decode alone measured ~4 ms/step
+        acode = ((iv0 << 16) | iu0).transpose(0, 2, 1)  # (B, N, V)
+        return pixel_topk_indices(
+            points.astype(jnp.float32), cand, acode, v, window, h, w,
+            min(k, v * ww),
+        )
+
     shifts = [
         img[:, :, dy : dy + hp, dx : dx + wp, :]
         for dy in range(window)
         for dx in range(window)
     ]
     patches = jnp.stack(shifts, axis=-2).reshape(b * v * hp * wp, ww * 3)
-
-    anchor = iv0 * wp + iu0  # (B, V, N), anchors are in-bounds by clipping
-    bv_base = (jnp.arange(b * v, dtype=jnp.int32) * (hp * wp)).reshape(b, v, 1)
 
     if method == "minext":
         # Single-stage EXACT selection over all V·ww candidates, n-major:
