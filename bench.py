@@ -17,9 +17,80 @@ BASELINE.json's north star as the 10× target denominator.
 """
 
 import json
+import os
+import socket
+import sys
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# TPU-relay resilience (round-3 postmortem: BENCH_r03.json was rc=1 because
+# the dev environment's axon relay — the tunnel to the one real chip — was
+# down at the moment the driver ran this script, erasing the round's number).
+# Policy: when the axon backend is requested, wait for the relay socket with
+# backoff for a bounded window before touching jax (jax.devices() HANGS, not
+# errors, while the relay is refusing connections), and if jax still raises
+# UNAVAILABLE mid-run (relay died during the bench), re-exec this script
+# until the same deadline. A transient outage thus degrades to a late
+# number instead of rc=1; a persistent one still fails honestly.
+# ---------------------------------------------------------------------------
+_RELAY_ADDR = ("127.0.0.1", 8093)
+_DEADLINE_ENV = "BENCH_RELAY_DEADLINE"  # absolute unix time, set on first run
+
+
+def _relay_requested() -> bool:
+    return "axon" in os.environ.get("JAX_PLATFORMS", "")
+
+
+def _relay_up(timeout: float = 5.0) -> bool:
+    try:
+        with socket.create_connection(_RELAY_ADDR, timeout=timeout):
+            return True
+    except OSError:
+        return False
+
+
+def _deadline() -> float:
+    if _DEADLINE_ENV not in os.environ:
+        wait = float(os.environ.get("BENCH_RELAY_WAIT_S", "2700"))
+        os.environ[_DEADLINE_ENV] = str(time.time() + wait)
+    return float(os.environ[_DEADLINE_ENV])
+
+
+def _wait_for_relay() -> None:
+    """Block until the relay accepts TCP, or exit 1 past the deadline."""
+    if not _relay_requested():
+        return
+    deadline = _deadline()
+    delay = 10.0
+    while not _relay_up():
+        now = time.time()
+        if now >= deadline:
+            print(
+                "bench.py: TPU relay 127.0.0.1:8093 unreachable for the whole "
+                f"wait window (BENCH_RELAY_WAIT_S); giving up.",
+                file=sys.stderr,
+            )
+            sys.exit(1)
+        time.sleep(min(delay, max(1.0, deadline - now)))
+        delay = min(delay * 1.5, 120.0)
+
+
+def _retry_or_exit(err: BaseException) -> None:
+    """On a relay UNAVAILABLE error: wait for the relay and re-exec."""
+    msg = str(err)
+    transient = "UNAVAILABLE" in msg or "Connection refused" in msg
+    if not (transient and _relay_requested() and time.time() < _deadline()):
+        raise err
+    print(
+        f"bench.py: transient backend failure ({msg.splitlines()[0][:120]}); "
+        "waiting for relay and re-executing.",
+        file=sys.stderr,
+    )
+    time.sleep(10.0)
+    _wait_for_relay()
+    os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
 
 
 def main():
@@ -196,4 +267,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    _wait_for_relay()
+    try:
+        main()
+    except RuntimeError as e:
+        _retry_or_exit(e)

@@ -66,6 +66,26 @@ def plan_architecture(cfg) -> Tuple[list, list, list]:
     return encoder, decoder, skip_dims
 
 
+def influence_cache_bytes(cfg, needed, pyr: Pyramid) -> int:
+    """Analytic HBM cost of the hoisted influence cache: one
+    (B, Nq, K, M) tensor in ``cfg.compute_dtype`` per (kind, level) entry.
+    ``needed`` maps (kind, layer) -> radius as built in
+    :func:`build_influence_cache`. Shapes are static under trace, so this
+    is a plain Python computation."""
+    itemsize = jnp.dtype(cfg.compute_dtype).itemsize
+    total = 0
+    m = cfg.num_kernel_points
+    for (kind, layer) in needed:
+        if kind == "pool":
+            q, inds = pyr.points[layer + 1], pyr.pools[layer]
+        else:
+            q, inds = pyr.points[layer], pyr.neighbors[layer]
+        b, nq = q.shape[0], q.shape[1]
+        k = inds.shape[-1]
+        total += b * nq * k * m * itemsize
+    return total
+
+
 def build_influence_cache(cfg, plans, pyr: Pyramid):
     """Hoisted rigid KP influence weights, one per (conv|pool, level).
 
@@ -86,6 +106,13 @@ def build_influence_cache(cfg, plans, pyr: Pyramid):
             if "simple" in name or "resnetb" in name:
                 kind = "pool" if "strided" in name else "conv"
                 needed[(kind, layer)] = r
+    if influence_cache_bytes(cfg, needed, pyr) > (
+        getattr(cfg, "influence_cache_budget_mb", 1024.0) * 2**20
+    ):
+        # Automatic HBM-pressure fallback: an empty cache makes every block
+        # recompute its influence in place (blocks.py handles the missing
+        # key), trading ~3% step time for the cache's residency.
+        return {}
     cache = {}
     for (kind, layer), r in sorted(needed.items()):
         extent = r * cfg.kp_extent / cfg.conv_radius

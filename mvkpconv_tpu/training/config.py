@@ -155,6 +155,14 @@ class KPConfig:
     # the influence einsum in the backward pass instead of saving them;
     # deformable blocks are exempt because they sow intermediates).
     remat: str = "none"
+    # HBM budget (MiB) for the hoisted per-level influence cache
+    # (models/kpfcnn.py:build_influence_cache). The cache holds one
+    # (B, Nq, K, M) tensor per (conv|pool, level) live across the whole
+    # forward — ~102 MiB bf16 at bench shapes (see RESULTS.md). If the
+    # analytic total exceeds this budget (e.g. very large batches), the
+    # cache is skipped automatically and blocks recompute influence
+    # in-place, trading ~3% step time for the HBM. 0 disables the cache.
+    influence_cache_budget_mb: float = 1024.0
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 

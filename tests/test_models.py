@@ -203,3 +203,46 @@ def test_hoisted_influence_matches_inline():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5
             )
+
+
+def test_influence_cache_budget_fallback(rng):
+    """The influence cache's analytic HBM accounting and its automatic
+    skip fallback: a zero budget must disable the cache (empty dict), and
+    the model's logits must be identical either way (blocks recompute the
+    same influence in place when their cache key is missing)."""
+    from mvkpconv_tpu.models.kpfcnn import (
+        build_influence_cache,
+        influence_cache_bytes,
+        plan_architecture,
+    )
+
+    cfg_on = tiny_config()
+    cfg_off = tiny_config(influence_cache_budget_mb=0.0)
+    pyr, feats = _pyramid_batch(rng, cfg_on)
+
+    plans = plan_architecture(cfg_on)[:2]
+    needed = {}
+    for plan in plans:
+        for name, _i, _o, r, layer, _c in plan:
+            if "simple" in name or "resnetb" in name:
+                needed[("pool" if "strided" in name else "conv", layer)] = r
+    nbytes = influence_cache_bytes(cfg_on, needed, pyr)
+    # analytic: conv levels 0..2 (B=2, N=256/64/16, K=16) + pools 0..1
+    # (queries are the next level's points), M=15, f32
+    expect = 0
+    for (kind, layer) in needed:
+        q = pyr.points[layer + 1] if kind == "pool" else pyr.points[layer]
+        expect += 2 * q.shape[1] * 16 * 15 * 4
+    assert nbytes == expect > 0
+
+    cache = build_influence_cache(cfg_on, plans, pyr)
+    assert set(cache) == set(needed)
+    assert build_influence_cache(cfg_off, plans, pyr) == {}
+
+    model_on, model_off = KPFCNN(cfg_on), KPFCNN(cfg_off)
+    variables = model_on.init(jax.random.PRNGKey(0), feats, pyr)
+    out_on = model_on.apply(variables, feats, pyr)
+    out_off = model_off.apply(variables, feats, pyr)
+    np.testing.assert_allclose(
+        np.asarray(out_on), np.asarray(out_off), rtol=1e-5, atol=1e-5
+    )

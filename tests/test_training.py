@@ -219,3 +219,49 @@ def test_trainer_profile_capture(tmp_path):
     if prof.exists():
         assert any(prof.rglob("*"))
     assert (tmp_path / "run" / "scalars.jsonl").exists()
+
+
+def test_remat_blocks_matches_none(scenes):
+    """cfg.remat='blocks' must be a pure memory/recompute tradeoff: identical
+    loss, gradients (via the updated params), and parameter tree to
+    remat='none' on the same initial state and batch. Also pins the
+    checkpoint-compatibility claim in block_decider: nn.remat wrappers must
+    not change parameter names."""
+    cfg_none = small_cfg()
+    cfg_remat = small_cfg(remat="blocks")
+    assert cfg_remat.remat == "blocks"
+
+    ds = SphereDataset(scenes, cfg_none, training=True, seed=3)
+    batch = device_batch(ds.sample_batch())
+
+    results = {}
+    trees = {}
+    for cfg in (cfg_none, cfg_remat):
+        model = KPFCNN(cfg)
+        apply_fn = make_apply_fn(model, cfg, "kpfcnn")
+        tx = make_optimizer(cfg)
+        from mvkpconv_tpu.ops.pyramid import build_pyramid
+
+        pyr = build_pyramid(
+            jnp.asarray(batch["points"]), jnp.asarray(batch["mask"]),
+            cfg.pyramid_spec(),
+        )
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.asarray(batch["features"]), pyr
+        )
+        state = create_train_state(variables, tx)
+        step = make_train_step(apply_fn, tx, cfg, donate=False)
+        new_state, stats = step(state, batch)
+        results[cfg.remat] = (float(stats["loss"]), new_state.params)
+        trees[cfg.remat] = jax.tree_util.tree_structure(variables["params"])
+
+    # identical parameter tree (remat-independent checkpoints)
+    assert trees["none"] == trees["blocks"]
+    loss_n, params_n = results["none"]
+    loss_r, params_r = results["blocks"]
+    assert loss_n == pytest.approx(loss_r, rel=1e-6)
+    flat_n, _ = jax.tree_util.tree_flatten(params_n)
+    flat_r, _ = jax.tree_util.tree_flatten(params_r)
+    for a, b in zip(flat_n, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
