@@ -1,5 +1,6 @@
 """Data-parallel sharding tests over the 8-device virtual CPU mesh."""
 
+import os
 import pytest
 import numpy as np
 
@@ -219,3 +220,39 @@ def test_two_simulated_host_shards_train_on_mesh():
     state, stats = step(state, sbatch)
     assert np.isfinite(float(stats["loss"]))
     assert int(np.asarray(state.step)) == 1
+
+
+def test_global_batch_two_processes():
+    """Run ``global_batch_from_local`` — including the Trainer's
+    ``process_count() > 1`` branch — under a REAL ``jax.distributed`` setup:
+    two coordinator-connected CPU processes with 2 virtual devices each
+    (gloo collectives). Closes the round-3 gap that
+    ``jax.make_array_from_process_local_data`` had only ever executed with
+    process_count == 1. See tests/multihost_worker.py for what each
+    process asserts (helpers, assembled-batch content via a jitted
+    cross-process reduction, 4 Trainer.fit steps)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:  # free coordinator port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = Path(__file__).parent / "multihost_worker.py"
+    repo = str(Path(__file__).resolve().parents[1])
+    env = dict(os.environ, PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(port), str(pid)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"WORKER_OK {pid}" in out
