@@ -185,10 +185,25 @@ def main(argv=None):
 
     vars_2d = None
     if two_stage and not args.path_2d:
-        print(f"=== 2D pretrain ({args.steps_2d} steps) ===", flush=True)
-        t0 = time.time()
-        vars_2d = pretrain_2d()
-        print(f"  -> 2D net ready ({(time.time()-t0)/60:.1f} min)", flush=True)
+        # resume-friendly: a crashed/relay-killed run leaves the pretrained
+        # 2D net on disk in train_2d layout, reusable via --path-2d
+        saved_2d = out_dir / "net_2d" / "checkpoints" / "model_best.msgpack"
+        if saved_2d.exists():
+            print(f"=== 2D net: reusing {saved_2d} ===", flush=True)
+            args.path_2d = str(out_dir / "net_2d")
+        else:
+            print(f"=== 2D pretrain ({args.steps_2d} steps) ===", flush=True)
+            t0 = time.time()
+            vars_2d = pretrain_2d()
+            import flax.serialization as ser
+
+            saved_2d.parent.mkdir(parents=True, exist_ok=True)
+            saved_2d.write_bytes(ser.msgpack_serialize(
+                jax.device_get({"params": vars_2d["params"],
+                                "batch_stats": vars_2d["batch_stats"]})
+            ))
+            print(f"  -> 2D net ready ({(time.time()-t0)/60:.1f} min), "
+                  f"saved to {saved_2d}", flush=True)
     elif two_stage:
         print(f"=== 2D net: reusing {args.path_2d} ===", flush=True)
 
