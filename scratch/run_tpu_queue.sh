@@ -22,6 +22,19 @@ timeout 2400 python scratch/prof_tail2.py > outputs/r4/tail_layouts.txt 2>&1
 echo "rc=$?"; tail -8 outputs/r4/tail_layouts.txt
 timeout 2400 python scratch/prof_hoist2.py > outputs/r4/hoist_variants.txt 2>&1
 echo "rc=$?"; tail -8 outputs/r4/hoist_variants.txt
+for bb in 8 16; do
+  timeout 2400 python scratch/bench_b.py $bb > outputs/r4/bench_b$bb.txt 2>&1
+  echo "rc=$? B=$bb"; tail -2 outputs/r4/bench_b$bb.txt
+done
+timeout 2400 python scratch/xla_issues/batched_dot_lowering.py \
+  > outputs/r4/xla_batched_dot.txt 2>&1
+echo "rc=$?"; tail -5 outputs/r4/xla_batched_dot.txt
+timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
+  > outputs/r4/xla_layout.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/xla_layout.txt
+
+timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
+echo "rc=$?"; tail -9 outputs/r4/block_decomp.txt
 
 echo "[$(TS)] 4/6 two-stage accuracy matrix (reference protocol)"
 timeout 14400 python -m mvkpconv_tpu.tools.measure_variants \
