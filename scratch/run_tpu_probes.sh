@@ -1,0 +1,44 @@
+#!/bin/bash
+# Round-4 TPU queue, part A: the QUICK perf probes (~1h). Runs first so
+# production wins can be applied and re-benched while the relay is up;
+# the long accuracy runs live in scratch/run_tpu_accuracy.sh.
+set -u
+cd /root/repo
+mkdir -p outputs/r4
+TS() { date -u +%H:%M:%S; }
+
+if [ ! -s outputs/r4/bench_early.json ]; then
+  echo "[$(TS)] bench (first green number of the round)"
+  timeout 2700 python bench.py > outputs/r4/bench_early.json 2> outputs/r4/bench_early.err
+  echo "rc=$? $(cat outputs/r4/bench_early.json 2>/dev/null)"
+fi
+
+echo "[$(TS)] remat A/B (train-step lever)"
+timeout 2400 python scratch/prof_remat2.py > outputs/r4/remat_ab.txt 2>&1
+echo "rc=$?"; tail -4 outputs/r4/remat_ab.txt
+
+echo "[$(TS)] influence-tail layout variants (trunk glue)"
+timeout 2400 python scratch/prof_tail2.py > outputs/r4/tail_layouts.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/tail_layouts.txt
+timeout 2400 python scratch/prof_hoist2.py > outputs/r4/hoist_variants.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/hoist_variants.txt
+
+echo "[$(TS)] batch-size scaling"
+for bb in 8 16; do
+  timeout 2400 python scratch/bench_b.py $bb > outputs/r4/bench_b$bb.txt 2>&1
+  echo "rc=$? B=$bb"; tail -2 outputs/r4/bench_b$bb.txt
+done
+
+echo "[$(TS)] XLA issue repros (measured evidence for upstream filing)"
+timeout 2400 python scratch/xla_issues/batched_dot_lowering.py \
+  > outputs/r4/xla_batched_dot.txt 2>&1
+echo "rc=$?"; tail -5 outputs/r4/xla_batched_dot.txt
+timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
+  > outputs/r4/xla_layout.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/xla_layout.txt
+
+echo "[$(TS)] resnetb sub-op decomposition"
+timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
+echo "rc=$?"; tail -9 outputs/r4/block_decomp.txt
+
+echo "[$(TS)] probes done"
