@@ -49,6 +49,26 @@ def closest_pool(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return gather_neighbors(x, idx[..., :1])[..., 0, :]
 
 
+def _safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt with a finite gradient at x == 0 (returns grad 0 there).
+
+    The influence distance hits EXACTLY zero on padded pyramid rows: a
+    shadow query's shadow neighbors sit at coordinate-difference (0,0,0),
+    which coincides with the center kernel point, so sq == 0 and plain
+    ``sqrt``'s VJP is inf — and ``0 cotangent × inf = NaN`` poisons the
+    deformable offset gradients from step 1 (the reference's ragged
+    stacking has no padded query rows, so it never sees this; our static
+    TPU batching does). Value is identical to ``jnp.sqrt`` for x ≥ 1e-30
+    and 0 below (real squared distances are ≫ 1e-30).
+
+    The clamp must be a NORMAL float: ``where`` only zeroes the branch's
+    cotangent, the branch VJP still evaluates, and a denormal clamp (e.g.
+    1e-38) is flushed to zero by the hardware — sqrt'(0) = inf and
+    ``0 × inf = NaN`` reappears.
+    """
+    return jnp.where(x > 1e-30, jnp.sqrt(jnp.maximum(x, 1e-30)), 0.0)
+
+
 def rigid_influence(
     q_pts: jnp.ndarray,
     s_pts: jnp.ndarray,
@@ -90,7 +110,7 @@ def rigid_influence(
     if influence == "constant":
         all_w = jnp.ones_like(sq)
     elif influence == "linear":
-        all_w = jnp.maximum(1.0 - jnp.sqrt(sq) / kp_extent, 0.0)
+        all_w = jnp.maximum(1.0 - _safe_sqrt(sq) / kp_extent, 0.0)
     elif influence == "gaussian":
         sigma = kp_extent * 0.3
         all_w = jnp.exp(-sq / (2.0 * sigma**2))
@@ -251,7 +271,7 @@ def kpconv_apply(
     if influence == "constant":
         all_w = jnp.ones_like(sq)
     elif influence == "linear":
-        all_w = jnp.maximum(1.0 - jnp.sqrt(sq) / kp_extent, 0.0)
+        all_w = jnp.maximum(1.0 - _safe_sqrt(sq) / kp_extent, 0.0)
     elif influence == "gaussian":
         sigma = kp_extent * 0.3
         all_w = jnp.exp(-sq / (2.0 * sigma**2))

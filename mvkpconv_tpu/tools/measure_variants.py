@@ -71,6 +71,11 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="minuscule shapes for CI smoke runs (CPU-friendly); "
                     "accuracy numbers are meaningless at this size")
+    ap.add_argument("--save-checkpoints", action="store_true",
+                    help="write <out>/<variant>/parameters.txt + a "
+                    "checkpoints/ dir per variant so downstream tools "
+                    "(tools/inspect_deform on the deformable sweep) can "
+                    "restore the trained model")
     args = ap.parse_args(argv)
 
     import jax
@@ -312,6 +317,20 @@ def main(argv=None):
                 losses.append(float(np.asarray(stats["loss"])))
                 print(f"  step {i}: loss {losses[-1]:.3f}", flush=True)
         batches.close()
+
+        if args.save_checkpoints:
+            # restorable by tools/inspect_deform (same TrainState pytree:
+            # the optimizer here matches make_optimizer(cfg) whenever
+            # nothing is frozen — i.e. every 3D-only/deformable variant)
+            from mvkpconv_tpu.training.checkpoint import Checkpointer
+
+            vdir = out_dir / name
+            vdir.mkdir(parents=True, exist_ok=True)
+            cfg.save(vdir / "parameters.txt")
+            Checkpointer(vdir / "checkpoints").save(
+                jax.device_get(state), step=args.steps
+            )
+            print(f"  saved checkpoint -> {vdir}/checkpoints", flush=True)
 
         def predict(b):
             return np.asarray(eval_step(state, to_device(b)))
