@@ -18,12 +18,21 @@ for fp in 0.5 1.0 2.0; do
     tag="fp${fp}_lr${lr}"
     [ -s outputs/r4/deform_$tag/results.json ] && { echo "skip $tag (done)"; continue; }
     timeout 3600 python -m mvkpconv_tpu.tools.measure_variants \
-      --steps 400 --only kpconv_deformable \
+      --steps 400 --only kpconv_deformable --save-checkpoints \
       --override deform_fitting_power=$fp --override deform_lr_factor=$lr \
       --out outputs/r4/deform_$tag \
       > outputs/r4/deform_$tag.log 2>&1
     echo "rc=$? $tag: $(cat outputs/r4/deform_$tag/results.json 2>/dev/null | tr -d '\n ')"
   done
+done
+
+echo "[$(TS)] deform inspection artifacts (offset stats per sweep point)"
+for d in outputs/r4/deform_*/kpconv_deformable; do
+  [ -d "$d/checkpoints" ] || continue
+  timeout 1200 python -m mvkpconv_tpu.tools.inspect_deform \
+    --config "$d/parameters.txt" --checkpoint "$d/checkpoints" \
+    --output "$d/inspect" > "$d/inspect.log" 2>&1
+  echo "rc=$? $d"
 done
 
 echo "[$(TS)] bench (final)"
