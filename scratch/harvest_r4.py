@@ -97,3 +97,21 @@ if rows:
     print("|---|---|---|---|")
     for fp, lr, miou, oa in sorted(rows):
         print(f"| {fp} | {lr} | {miou:.3f} | {oa if oa is None else f'{oa:.3f}'} |")
+
+# ---- deform inspection stats (tools/inspect_deform artifacts) -----------
+for d in sorted(os.listdir(root)) if os.path.isdir(root) else []:
+    p = os.path.join(root, d, "kpconv_deformable", "inspect",
+                     "deform_stats.json")
+    if not os.path.exists(p):
+        continue
+    with open(p) as f:
+        stats = json.load(f)
+    layers = stats.get("layers", stats if isinstance(stats, list) else [])
+    print(f"\n### {d} inspection (per deformable layer)")
+    for lay in layers:
+        if isinstance(lay, dict):
+            keys = ("name", "level", "extent", "mean_kp_radius",
+                    "max_kp_radius", "fit_fraction")
+            print("  " + "  ".join(
+                f"{k}={lay[k]:.3f}" if isinstance(lay.get(k), float)
+                else f"{k}={lay.get(k)}" for k in keys if k in lay))
