@@ -146,14 +146,24 @@ def main(argv=None):
         "mvpnet": dict(fusion="none", in_features_dim=2),  # own path below
     }
     if args.only:
-        keep = set(args.only.split(","))
-        variants = {k: v for k, v in variants.items() if k in keep}
+        # order-preserving: rows run in the order given, so long budgets
+        # can put the highest-value comparisons first
+        keep = [k.strip() for k in args.only.split(",")]
+        unknown = [k for k in keep if k not in variants]
+        if unknown:
+            raise SystemExit(f"unknown variants {unknown}; "
+                             f"choose from {list(variants)}")
+        variants = {k: variants[k] for k in keep}
 
     # ---- stage 1 (reference protocol): pretrain the 2D UNet once on the
     # SAME training scenes, then freeze it inside every fusion variant
     # (architectures_sphere.py:226-237 loads config.path_2D and freezes —
     # the setup under which the reference reports its fusion wins).
-    fusion_needed = any(v.get("fusion", "none") != "none" for v in variants.values())
+    fusion_needed = (
+        any(v.get("fusion", "none") != "none" for v in variants.values())
+        or "mvpnet" in variants  # its fusion field is 'none' but the 2D
+        # net is integral (lifted 2D features are its whole input)
+    )
     two_stage = fusion_needed and not args.joint_2d
 
     def pretrain_2d():
@@ -245,15 +255,26 @@ def main(argv=None):
 
             b0 = to_device(ds.sample_batch(cfg.batch_num))
             variables = jit_init(model, b0)
-            if two_stage and vars_2d is not None:
+            if two_stage:
                 # MVPNet's reference config freezes a pretrained 2D net too
-                # (FROZEN_PATTERNS net_2d, mvpnet_3d yaml)
-                variables = dict(
-                    variables,
-                    params={**variables["params"], "net_2d": vars_2d["params"]},
-                    batch_stats={**variables.get("batch_stats", {}),
-                                 "net_2d": vars_2d["batch_stats"]},
-                )
+                # (FROZEN_PATTERNS net_2d, mvpnet_3d yaml); like the fusion
+                # branch, the net comes either from this run's pretraining
+                # (vars_2d) or from a reused on-disk checkpoint (path_2d —
+                # the crash/relay resume path, which previously fell back
+                # to joint 2D training for this row only)
+                if args.path_2d:
+                    from mvkpconv_tpu.training.transfer import (
+                        load_2d_checkpoint_into,
+                    )
+
+                    variables = load_2d_checkpoint_into(variables, args.path_2d)
+                elif vars_2d is not None:
+                    variables = dict(
+                        variables,
+                        params={**variables["params"], "net_2d": vars_2d["params"]},
+                        batch_stats={**variables.get("batch_stats", {}),
+                                     "net_2d": vars_2d["batch_stats"]},
+                    )
         else:
             ds = SphereDataset(train_scenes, cfg, training=True, seed=0)
             val_ds = SphereDataset(val_scenes, cfg, training=False, seed=1)

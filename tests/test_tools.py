@@ -129,9 +129,26 @@ def test_measure_variants_two_stage_tiny(tmp_path):
     ])
     res = json.loads((tmp_path / "results.json").read_text())
     assert set(res) == {"kpconv_baseline", "mvkpconv_early", "mvpnet"}
+    # --only preserves the caller's ordering (long budgets put the
+    # highest-value rows first)
+    assert list(res) == ["kpconv_baseline", "mvkpconv_early", "mvpnet"]
     assert res["kpconv_baseline"]["protocol"] == "3d_only"
     assert res["mvkpconv_early"]["protocol"] == "two_stage_frozen_2d"
     assert res["mvpnet"]["protocol"] == "two_stage_frozen_2d"
+
+    # resume path: reuse the saved 2D net via --path-2d for an mvpnet-only
+    # run (regression: this used to silently fall back to joint 2D
+    # training because vars_2d was None and fusion_needed ignored mvpnet)
+    out2 = tmp_path / "resume"
+    measure_variants.main([
+        "--tiny", "--steps", "2",
+        "--train-scenes", "1", "--val-scenes", "1",
+        "--only", "mvpnet",
+        "--path-2d", str(tmp_path / "net_2d"),
+        "--out", str(out2),
+    ])
+    res2 = json.loads((out2 / "results.json").read_text())
+    assert res2["mvpnet"]["protocol"] == "two_stage_frozen_2d"
 
 
 def test_inspect_deform_cli(tmp_path):
