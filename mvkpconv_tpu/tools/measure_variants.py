@@ -71,6 +71,10 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="minuscule shapes for CI smoke runs (CPU-friendly); "
                     "accuracy numbers are meaningless at this size")
+    ap.add_argument("--rerun", action="store_true",
+                    help="re-measure variants already present in "
+                    "<out>/results.json (default: skip them, so an "
+                    "outage-interrupted matrix resumes where it stopped)")
     ap.add_argument("--save-checkpoints", action="store_true",
                     help="write <out>/<variant>/parameters.txt + a "
                     "checkpoints/ dir per variant so downstream tools "
@@ -222,8 +226,17 @@ def main(argv=None):
     elif two_stage:
         print(f"=== 2D net: reusing {args.path_2d} ===", flush=True)
 
+    # resume: a crashed/relay-killed matrix leaves its partial results.json;
+    # finished rows are kept and skipped so the rerun only pays for the rest
+    results_path = out_dir / "results.json"
     results = {}
+    if results_path.exists() and not args.rerun:
+        results = json.loads(results_path.read_text())
     for name, overrides in variants.items():
+        if name in results and not args.rerun:
+            print(f"=== {name}: already in {results_path}, skipping "
+                  f"(--rerun to force) ===", flush=True)
+            continue
         t_start = time.time()
         print(f"=== {name} ===", flush=True)
         cfg = KPConfig(**base_kw, **overrides)

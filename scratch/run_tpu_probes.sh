@@ -37,6 +37,10 @@ timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
   > outputs/r4/xla_layout.txt 2>&1
 echo "rc=$?"; tail -8 outputs/r4/xla_layout.txt
 
+echo "[$(TS)] g-form KPConv (fold W into supports pre-gather; VERDICT #5 attempt)"
+timeout 2400 python scratch/prof_gform.py > outputs/r4/gform.txt 2>&1
+echo "rc=$?"; tail -16 outputs/r4/gform.txt
+
 echo "[$(TS)] resnetb sub-op decomposition"
 timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
 echo "rc=$?"; tail -9 outputs/r4/block_decomp.txt

@@ -1,5 +1,7 @@
 """CLI entry-point smoke tests (tiny configs, end-to-end train→test)."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -149,6 +151,20 @@ def test_measure_variants_two_stage_tiny(tmp_path):
     ])
     res2 = json.loads((out2 / "results.json").read_text())
     assert res2["mvpnet"]["protocol"] == "two_stage_frozen_2d"
+
+    # variant-level resume: rerunning into the same --out must SKIP rows
+    # already in results.json (outage-interrupted matrices resume where
+    # they stopped) while keeping the earlier rows in the merged file
+    t0 = time.time()
+    measure_variants.main([
+        "--tiny", "--steps", "2", "--steps-2d", "2",
+        "--train-scenes", "1", "--val-scenes", "1",
+        "--only", "kpconv_baseline,mvkpconv_early,mvpnet",
+        "--out", str(tmp_path),
+    ])
+    assert time.time() - t0 < 30, "skip-resume should not retrain anything"
+    res3 = json.loads((tmp_path / "results.json").read_text())
+    assert res3 == res
 
 
 def test_inspect_deform_cli(tmp_path):
