@@ -115,6 +115,19 @@ def main():
         batch_num=4,
         compute_dtype=jnp.bfloat16,
     )
+    # A/B hook for the measurement queue: BENCH_OVERRIDES="k=v,k=v" applies
+    # KPConfig field overrides (e.g. kpconv_tail=gform_dot) without touching
+    # the default configuration the driver measures.
+    if os.environ.get("BENCH_OVERRIDES"):
+        import ast
+
+        for ov in filter(None, os.environ["BENCH_OVERRIDES"].split(",")):
+            k, v = ov.split("=", 1)
+            try:
+                v = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                pass
+            cfg = cfg.replace(**{k: v})
     b = cfg.batch_num
     model = MVKPConv(cfg)
     spec = cfg.pyramid_spec()

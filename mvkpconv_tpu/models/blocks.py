@@ -140,6 +140,7 @@ def kpconv_apply(
     return_deform_aux: bool = False,
     use_pallas: bool = False,
     precomputed_influence: Optional[jnp.ndarray] = None,
+    tail: str = "einsum",
 ):
     """Kernel point convolution (blocks.py:237-374 forward, batched).
 
@@ -161,6 +162,15 @@ def kpconv_apply(
         a pyramid level. When given, the geometry pipeline is skipped
         entirely (features-only gather + contraction); numerics are
         identical because the same function computes it either way.
+      tail: contraction form on the precomputed-influence fast path:
+        'einsum' (gather features → 'bqkm,bqkc->bqmc' → (M·Cin,Cout)
+        matmul) | 'gform_dot' | 'gform_vpu' (g-form: fold the weights
+        into SUPPORT features before the gather — g = x @ W, one clean
+        MXU matmul over Ns — then contract the gathered (B,Nq,K,M·Cout)
+        with influence over K·M, deleting the lane-hostile batched dot;
+        '_dot' uses a batched dot_general, '_vpu' a fused multiply-
+        reduce). Identical numerics up to reassociation
+        (scratch/prof_gform.py, tests/test_models.py).
 
     Returns:
       (B, Nq, Cout).
@@ -170,16 +180,48 @@ def kpconv_apply(
         and kp_offsets is None
         and not return_deform_aux
     ):
+        m, cin, cout = weights.shape
+        infl = precomputed_influence.astype(compute_dtype)
+        if tail in ("gform_dot", "gform_vpu"):
+            if kp_modulations is not None:
+                # wf·mod[q,m] ≡ infl·mod[q,m] — fold into influence so the
+                # g-form stays a pure feature path
+                infl = infl * kp_modulations[:, :, None, :].astype(infl.dtype)
+            g = jax.lax.dot_general(
+                x.astype(compute_dtype),
+                weights.transpose(1, 0, 2).reshape(cin, m * cout).astype(
+                    compute_dtype
+                ),
+                dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(compute_dtype)
+            gk = group_points(pad_shadow_row(g), neighb_inds)
+            b, nq, k = neighb_inds.shape
+            if tail == "gform_dot":
+                out = jax.lax.dot_general(
+                    infl.reshape(b, nq, k * m),
+                    gk.reshape(b, nq, k * m, cout),
+                    dimension_numbers=(((2,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                out = jnp.sum(
+                    infl[..., None] * gk.reshape(b, nq, k, m, cout),
+                    axis=(2, 3),
+                    dtype=jnp.float32,
+                )
+            return out.astype(jnp.float32)
+        if tail != "einsum":
+            raise ValueError(f"unknown kpconv tail {tail!r}")
         nx = group_points(pad_shadow_row(x), neighb_inds)  # (B, Nq, K, Cin)
         wf = jnp.einsum(
             "bqkm,bqkc->bqmc",
-            precomputed_influence.astype(compute_dtype),
+            infl,
             nx.astype(compute_dtype),
             preferred_element_type=jnp.float32,
         )
         if kp_modulations is not None:
             wf = wf * kp_modulations[..., :, None].astype(wf.dtype)
-        m, cin, cout = weights.shape
         out = jax.lax.dot_general(
             wf.reshape(wf.shape[0], wf.shape[1], m * cin).astype(compute_dtype),
             weights.reshape(m * cin, cout).astype(compute_dtype),
@@ -387,6 +429,7 @@ class KPConvLayer(nn.Module):
     modulated: bool = False  # deformable + per-KP sigmoid modulations
     compute_dtype: Any = jnp.float32
     use_pallas: bool = False
+    tail: str = "einsum"  # precomputed-influence contraction form
 
     def setup(self):
         # kernel points scale with the conv radius (blocks.py:225-235: the
@@ -414,6 +457,7 @@ class KPConvLayer(nn.Module):
                 aggregation=self.aggregation,
                 deformable=False,
                 compute_dtype=self.compute_dtype,
+                tail=self.tail,
                 name="offset_conv",
             )
             self.offset_bias = self.param(
@@ -462,6 +506,7 @@ class KPConvLayer(nn.Module):
             precomputed_influence=(
                 None if self.deformable else precomputed_influence
             ),
+            tail=self.tail,
         )
         if self.deformable:
             out, (min_d2, deformed_kp) = out
@@ -511,6 +556,7 @@ class SimpleBlock(nn.Module):
             modulated=getattr(self.cfg, "modulated", False),
             compute_dtype=self.cfg.compute_dtype,
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
+            tail=getattr(self.cfg, "kpconv_tail", "einsum"),
             name="KPConv",
         )
         x = conv(q, pyr.points[l], inds, x, q_mask=out_mask,
@@ -559,6 +605,7 @@ class ResnetBottleneckBlock(nn.Module):
             modulated=getattr(self.cfg, "modulated", False),
             compute_dtype=self.cfg.compute_dtype,
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
+            tail=getattr(self.cfg, "kpconv_tail", "einsum"),
             name="KPConv",
         )
         h = conv(q, pyr.points[l], inds, h, q_mask=out_mask,

@@ -150,6 +150,15 @@ class KPConfig:
     # pattern well; the kernel's per-KP small matmuls underutilize the MXU).
     # Kept as groundwork — see ops/pallas/kpconv.py.
     use_pallas_kpconv: bool = False
+    # contraction form of the rigid KPConv tail on the hoisted-influence
+    # fast path: 'einsum' (gather → 'bqkm,bqkc->bqmc' → matmul) |
+    # 'gform_dot' | 'gform_vpu' (fold the (M,Cin,Cout) weights into
+    # support features BEFORE the gather — one clean MXU matmul over Ns —
+    # then contract gathered (B,Nq,K,M·Cout) with influence over K·M;
+    # trades a wider gather payload for deleting the lane-hostile batched
+    # dot; numerics identical up to reassociation). See
+    # scratch/prof_gform.py for the TPU A/B.
+    kpconv_tail: str = "einsum"
     # rematerialization policy for the training step: 'none' | 'blocks'
     # (per-conv-block nn.remat — recompute gathered neighbor features and
     # the influence einsum in the backward pass instead of saving them;
@@ -226,6 +235,8 @@ class KPConfig:
             )
         if self.fusion not in ("none", "early", "middle", "late"):
             raise ValueError(f"unknown fusion {self.fusion!r}")
+        if self.kpconv_tail not in ("einsum", "gform_dot", "gform_vpu"):
+            raise ValueError(f"unknown kpconv_tail {self.kpconv_tail!r}")
         return self
 
     # ----- parameters.txt-style round trip (utils/config.py:281-431) -----

@@ -41,6 +41,13 @@ echo "[$(TS)] g-form KPConv (fold W into supports pre-gather; VERDICT #5 attempt
 timeout 2400 python scratch/prof_gform.py > outputs/r4/gform.txt 2>&1
 echo "rc=$?"; tail -16 outputs/r4/gform.txt
 
+echo "[$(TS)] g-form end-to-end bench A/B (production-gated kpconv_tail)"
+for tail in gform_dot gform_vpu; do
+  BENCH_OVERRIDES="kpconv_tail=$tail" timeout 2700 python bench.py \
+    > outputs/r4/bench_$tail.json 2> outputs/r4/bench_$tail.err
+  echo "rc=$? $tail: $(cat outputs/r4/bench_$tail.json 2>/dev/null)"
+done
+
 echo "[$(TS)] resnetb sub-op decomposition"
 timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
 echo "rc=$?"; tail -9 outputs/r4/block_decomp.txt

@@ -205,6 +205,73 @@ def test_hoisted_influence_matches_inline():
             )
 
 
+def test_gform_tail_matches_einsum():
+    """The g-form tails (weights folded into support features before the
+    gather — the trunk-glue structural variant) must match the einsum tail
+    up to f32 reassociation, with shadow indices and modulations."""
+    import numpy as np
+
+    from mvkpconv_tpu.models.blocks import kpconv_apply, rigid_influence
+
+    rng = np.random.RandomState(7)
+    b, n, k, m, cin, cout = 2, 64, 8, 15, 6, 5
+    q = jnp.asarray(rng.randn(b, n, 3), jnp.float32)
+    idx = jnp.asarray(rng.randint(0, n + 1, (b, n, k)), jnp.int32)  # incl shadow
+    x = jnp.asarray(rng.randn(b, n, cin), jnp.float32)
+    kp = jnp.asarray(rng.randn(m, 3), jnp.float32) * 0.3
+    w = jnp.asarray(rng.randn(m, cin, cout), jnp.float32) * 0.1
+    mods = jnp.asarray(rng.rand(b, n, m), jnp.float32)
+    ext = 0.5
+    allw = rigid_influence(q, q, idx, kp, ext, "linear", "sum")
+    for kp_mods in (None, mods):
+        ref = kpconv_apply(
+            q, q, idx, x, kp, w, ext, kp_modulations=kp_mods,
+            precomputed_influence=allw,
+        )
+        for tail in ("gform_dot", "gform_vpu"):
+            got = kpconv_apply(
+                q, q, idx, x, kp, w, ext, kp_modulations=kp_mods,
+                precomputed_influence=allw, tail=tail,
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
+                err_msg=f"tail={tail} mods={kp_mods is not None}",
+            )
+    with pytest.raises(ValueError, match="unknown kpconv tail"):
+        kpconv_apply(
+            q, q, idx, x, kp, w, ext, precomputed_influence=allw, tail="bogus"
+        )
+
+
+def test_kpfcnn_gform_tail_end_to_end(rng):
+    """cfg.kpconv_tail='gform_dot' must give the same KPFCNN logits and
+    finite nonzero grads as the default einsum tail (threads the option
+    through SimpleBlock/ResnetBottleneckBlock + the influence cache)."""
+    pyr, feats = _pyramid_batch(rng, tiny_config())
+    variables = None
+    outs = {}
+    for tail in ("einsum", "gform_dot"):
+        cfg = tiny_config(kpconv_tail=tail)
+        model = KPFCNN(cfg)
+        if variables is None:  # same params for both (same module tree)
+            variables = model.init(jax.random.PRNGKey(0), feats, pyr)
+        outs[tail] = np.asarray(model.apply(variables, feats, pyr))
+    np.testing.assert_allclose(
+        outs["gform_dot"], outs["einsum"], rtol=2e-4, atol=2e-4
+    )
+
+    def loss_fn(params):
+        out = KPFCNN(tiny_config(kpconv_tail="gform_vpu")).apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, pyr,
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
+    assert max(norms) > 0 and all(np.isfinite(n) for n in norms)
+
+
 def test_influence_cache_budget_fallback(rng):
     """The influence cache's analytic HBM accounting and its automatic
     skip fallback: a zero budget must disable the cache (empty dict), and
