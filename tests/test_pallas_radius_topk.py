@@ -99,6 +99,40 @@ def test_pad_shapes(rng):
     assert got.max() <= ns
 
 
+def test_k1_upsample_nearest(rng):
+    """k=1 is the production upsample 1-NN path (ops/pyramid.py:251): when
+    Ns <= 128 (bins cover all supports) it must return the exact nearest
+    in-radius support, and the shadow contract must hold out-of-radius."""
+    b, nq, ns = 2, 80, 120
+    q = rng.rand(b, nq, 3).astype(np.float32)
+    s = rng.rand(b, ns, 3).astype(np.float32)
+    got = _run(q, s, 0.5, 1)
+    exact = np.asarray(
+        radius_neighbors(jnp.asarray(q), jnp.asarray(s), 0.5, 1, method="exact")
+    )
+    np.testing.assert_array_equal(got, exact)
+    # larger cloud (>1 chunk, collisions possible): the returned index must
+    # still be in-radius, and near-exact on distance (the kernel's packed
+    # keys quantize d² to ~2^-9 relative)
+    ns2 = 400
+    s2 = (rng.rand(b, ns2, 3) * 2).astype(np.float32)
+    got2 = np.asarray(
+        binmin_radius_topk(jnp.asarray(q), jnp.asarray(s2), 0.4, 1,
+                           interpret=True)
+    )[..., 0]
+    ex2 = np.asarray(
+        radius_neighbors(jnp.asarray(q), jnp.asarray(s2), 0.4, 1, method="exact")
+    )[..., 0]
+    for bi in range(b):
+        for i in range(nq):
+            g, e = got2[bi, i], ex2[bi, i]
+            assert (g == ns2) == (e == ns2)  # found iff exact found
+            if e < ns2:
+                dg = np.sum((s2[bi, g] - q[bi, i]) ** 2)
+                de = np.sum((s2[bi, e] - q[bi, i]) ** 2)
+                assert dg <= de * 1.01 + 1e-7  # near-tie tolerance
+
+
 def test_k_too_large_raises(rng):
     q = rng.rand(1, 8, 3).astype(np.float32)
     with pytest.raises(ValueError):
