@@ -29,7 +29,7 @@ def read(path):
 
 print(f"# Round-4 harvest from {root}\n")
 
-for tag in ("bench_early", "bench_final"):
+for tag in ("bench_early", "bench_gform_dot", "bench_gform_vpu", "bench_final"):
     raw = read(f"{tag}.json")
     if not raw or not raw.strip():
         print(f"* {tag}: MISSING")
@@ -51,6 +51,12 @@ raw = read("remat_ab.txt")
 if raw:
     print("\n## remat A/B (prof_remat2.py tail)\n```")
     print("\n".join(raw.strip().splitlines()[-8:]))
+    print("```")
+
+raw = read("gform.txt")
+if raw:
+    print("\n## g-form tail variants (prof_gform.py tail)\n```")
+    print("\n".join(raw.strip().splitlines()[-30:]))
     print("```")
 
 for bb in (8, 16):
