@@ -29,7 +29,8 @@ def read(path):
 
 print(f"# Round-4 harvest from {root}\n")
 
-for tag in ("bench_early", "bench_gform_dot", "bench_gform_vpu", "bench_final"):
+for tag in ("bench_early", "bench_gform_dot", "bench_gform_vpu",
+            "bench_combo", "bench_final"):
     raw = read(f"{tag}.json")
     if not raw or not raw.strip():
         print(f"* {tag}: MISSING")

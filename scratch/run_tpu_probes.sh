@@ -2,6 +2,8 @@
 # Round-4 TPU queue, part A: the QUICK perf probes (~1h). Runs first so
 # production wins can be applied and re-benched while the relay is up;
 # the long accuracy runs live in scratch/run_tpu_accuracy.sh.
+# Ordered by decision value: the round's green bench number first, then
+# the two production levers (g-form tail, remat), then diagnostics.
 set -u
 cd /root/repo
 mkdir -p outputs/r4
@@ -13,21 +15,40 @@ if [ ! -s outputs/r4/bench_early.json ]; then
   echo "rc=$? $(cat outputs/r4/bench_early.json 2>/dev/null)"
 fi
 
+echo "[$(TS)] g-form end-to-end bench A/B (production-gated kpconv_tail)"
+for tail in gform_dot gform_vpu; do
+  [ -s outputs/r4/bench_$tail.json ] && continue
+  BENCH_OVERRIDES="kpconv_tail=$tail" timeout 2700 python bench.py \
+    > outputs/r4/bench_$tail.json 2> outputs/r4/bench_$tail.err
+  echo "rc=$? $tail: $(cat outputs/r4/bench_$tail.json 2>/dev/null)"
+done
+
 echo "[$(TS)] remat A/B (train-step lever)"
 timeout 2400 python scratch/prof_remat2.py > outputs/r4/remat_ab.txt 2>&1
 echo "rc=$?"; tail -4 outputs/r4/remat_ab.txt
 
-echo "[$(TS)] influence-tail layout variants (trunk glue)"
-timeout 2400 python scratch/prof_tail2.py > outputs/r4/tail_layouts.txt 2>&1
-echo "rc=$?"; tail -8 outputs/r4/tail_layouts.txt
-timeout 2400 python scratch/prof_hoist2.py > outputs/r4/hoist_variants.txt 2>&1
-echo "rc=$?"; tail -8 outputs/r4/hoist_variants.txt
+echo "[$(TS)] combined levers bench (gform_dot + remat=blocks)"
+if [ ! -s outputs/r4/bench_combo.json ]; then
+  BENCH_OVERRIDES="kpconv_tail=gform_dot,remat=blocks" timeout 2700 python bench.py \
+    > outputs/r4/bench_combo.json 2> outputs/r4/bench_combo.err
+  echo "rc=$? combo: $(cat outputs/r4/bench_combo.json 2>/dev/null)"
+fi
 
 echo "[$(TS)] batch-size scaling"
 for bb in 8 16; do
   timeout 2400 python scratch/bench_b.py $bb > outputs/r4/bench_b$bb.txt 2>&1
   echo "rc=$? B=$bb"; tail -2 outputs/r4/bench_b$bb.txt
 done
+
+echo "[$(TS)] g-form KPConv standalone variants (VERDICT #5 attempt)"
+timeout 2400 python scratch/prof_gform.py > outputs/r4/gform.txt 2>&1
+echo "rc=$?"; tail -16 outputs/r4/gform.txt
+
+echo "[$(TS)] influence-tail layout variants (trunk glue)"
+timeout 2400 python scratch/prof_tail2.py > outputs/r4/tail_layouts.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/tail_layouts.txt
+timeout 2400 python scratch/prof_hoist2.py > outputs/r4/hoist_variants.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/hoist_variants.txt
 
 echo "[$(TS)] XLA issue repros (measured evidence for upstream filing)"
 timeout 2400 python scratch/xla_issues/batched_dot_lowering.py \
@@ -36,17 +57,6 @@ echo "rc=$?"; tail -5 outputs/r4/xla_batched_dot.txt
 timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
   > outputs/r4/xla_layout.txt 2>&1
 echo "rc=$?"; tail -8 outputs/r4/xla_layout.txt
-
-echo "[$(TS)] g-form KPConv (fold W into supports pre-gather; VERDICT #5 attempt)"
-timeout 2400 python scratch/prof_gform.py > outputs/r4/gform.txt 2>&1
-echo "rc=$?"; tail -16 outputs/r4/gform.txt
-
-echo "[$(TS)] g-form end-to-end bench A/B (production-gated kpconv_tail)"
-for tail in gform_dot gform_vpu; do
-  BENCH_OVERRIDES="kpconv_tail=$tail" timeout 2700 python bench.py \
-    > outputs/r4/bench_$tail.json 2> outputs/r4/bench_$tail.err
-  echo "rc=$? $tail: $(cat outputs/r4/bench_$tail.json 2>/dev/null)"
-done
 
 echo "[$(TS)] resnetb sub-op decomposition"
 timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
