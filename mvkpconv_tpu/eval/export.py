@@ -77,6 +77,7 @@ def export_inference(
     variables,
     batch_spec=None,
     platforms: Optional[Sequence[str]] = None,
+    allow_custom_calls: Sequence[str] = (),
 ) -> bytes:
     """Serialize the full inference step (batch → per-point class probs).
 
@@ -88,6 +89,14 @@ def export_inference(
         :func:`batch_spec_for` (required for ``mvpnet``).
       platforms: lowering platforms (e.g. ``("tpu", "cpu")``); default is
         the exporting host's platform.
+      allow_custom_calls: custom-call targets to exempt from jax.export's
+        forward-compatibility check. A TPU-platform export of the default
+        config contains the Pallas bin-min neighbor kernel
+        (``tpu_custom_call``), which is stable only for the exporting
+        jaxlib generation — pass ``("tpu_custom_call",)`` (the CLI's
+        ``--allow-custom-calls``) for same-fleet serving, or export with
+        ``cfg.replace(neighbor_method="approx")`` for a fully stable
+        artifact.
 
     Returns:
       StableHLO serialization bytes (write with :func:`save_exported`).
@@ -103,6 +112,10 @@ def export_inference(
     exp = jax_export.export(
         jax.jit(infer),
         platforms=tuple(platforms) if platforms else None,
+        disabled_checks=[
+            jax_export.DisabledSafetyCheck.custom_call(t)
+            for t in allow_custom_calls
+        ],
     )(spec)
     return bytes(exp.serialize())
 

@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None,
                     help="serving batch size baked into the artifact "
                     "(default: cfg.batch_num)")
+    ap.add_argument("--allow-custom-calls", action="store_true",
+                    help="exempt tpu_custom_call (Pallas kernels) from the "
+                    "export stability check — needed for TPU exports of the "
+                    "default config (neighbor_method='binmin'); the artifact "
+                    "is then tied to the exporting jaxlib generation")
     ap.add_argument("--selftest", action="store_true",
                     help="reload the artifact and run one batch through it")
     ap.add_argument("--seed", type=int, default=0)
@@ -106,7 +111,11 @@ def main(argv=None):
                      "batch_stats": restored.batch_stats}
 
     platforms = args.platforms.split(",") if args.platforms else None
-    data = export_inference(model, cfg, kind, variables, spec, platforms)
+    data = export_inference(
+        model, cfg, kind, variables, spec, platforms,
+        allow_custom_calls=("tpu_custom_call",) if args.allow_custom_calls
+        else (),
+    )
     path = save_exported(data, args.artifact)
     print(f"exported {kind} ({len(data) / 1e6:.1f} MB) -> {path}")
 

@@ -58,6 +58,10 @@ timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
   > outputs/r4/xla_layout.txt 2>&1
 echo "rc=$?"; tail -8 outputs/r4/xla_layout.txt
 
+echo "[$(TS)] serving-artifact parity (exported StableHLO vs live jit)"
+timeout 2400 python scratch/prof_serving.py > outputs/r4/serving.txt 2>&1
+echo "rc=$?"; tail -8 outputs/r4/serving.txt
+
 echo "[$(TS)] resnetb sub-op decomposition"
 timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
 echo "rc=$?"; tail -9 outputs/r4/block_decomp.txt
