@@ -24,7 +24,9 @@ for tail in gform_dot gform_vpu; do
 done
 
 echo "[$(TS)] remat A/B (train-step lever)"
-timeout 2400 python scratch/prof_remat2.py > outputs/r4/remat_ab.txt 2>&1
+if [ ! -s outputs/r4/remat_ab.txt ]; then
+  timeout 2400 python scratch/prof_remat2.py > outputs/r4/remat_ab.txt 2>&1
+fi
 echo "rc=$?"; tail -4 outputs/r4/remat_ab.txt
 
 echo "[$(TS)] combined levers bench (gform_dot + remat=blocks)"
@@ -36,34 +38,50 @@ fi
 
 echo "[$(TS)] batch-size scaling"
 for bb in 8 16; do
-  timeout 2400 python scratch/bench_b.py $bb > outputs/r4/bench_b$bb.txt 2>&1
+  if [ ! -s outputs/r4/bench_b$bb.txt ]; then
+    timeout 2400 python scratch/bench_b.py $bb > outputs/r4/bench_b$bb.txt 2>&1
+  fi
   echo "rc=$? B=$bb"; tail -2 outputs/r4/bench_b$bb.txt
 done
 
 echo "[$(TS)] g-form KPConv standalone variants (VERDICT #5 attempt)"
-timeout 2400 python scratch/prof_gform.py > outputs/r4/gform.txt 2>&1
+if [ ! -s outputs/r4/gform.txt ]; then
+  timeout 2400 python scratch/prof_gform.py > outputs/r4/gform.txt 2>&1
+fi
 echo "rc=$?"; tail -16 outputs/r4/gform.txt
 
 echo "[$(TS)] influence-tail layout variants (trunk glue)"
-timeout 2400 python scratch/prof_tail2.py > outputs/r4/tail_layouts.txt 2>&1
+if [ ! -s outputs/r4/tail_layouts.txt ]; then
+  timeout 2400 python scratch/prof_tail2.py > outputs/r4/tail_layouts.txt 2>&1
+fi
 echo "rc=$?"; tail -8 outputs/r4/tail_layouts.txt
-timeout 2400 python scratch/prof_hoist2.py > outputs/r4/hoist_variants.txt 2>&1
+if [ ! -s outputs/r4/hoist_variants.txt ]; then
+  timeout 2400 python scratch/prof_hoist2.py > outputs/r4/hoist_variants.txt 2>&1
+fi
 echo "rc=$?"; tail -8 outputs/r4/hoist_variants.txt
 
 echo "[$(TS)] XLA issue repros (measured evidence for upstream filing)"
-timeout 2400 python scratch/xla_issues/batched_dot_lowering.py \
-  > outputs/r4/xla_batched_dot.txt 2>&1
+if [ ! -s outputs/r4/xla_batched_dot.txt ]; then
+  timeout 2400 python scratch/xla_issues/batched_dot_lowering.py \
+    > outputs/r4/xla_batched_dot.txt 2>&1
+fi
 echo "rc=$?"; tail -5 outputs/r4/xla_batched_dot.txt
-timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
-  > outputs/r4/xla_layout.txt 2>&1
+if [ ! -s outputs/r4/xla_layout.txt ]; then
+  timeout 2400 python scratch/xla_issues/minor_dim_layout_copies.py \
+    > outputs/r4/xla_layout.txt 2>&1
+fi
 echo "rc=$?"; tail -8 outputs/r4/xla_layout.txt
 
 echo "[$(TS)] serving-artifact parity (exported StableHLO vs live jit)"
-timeout 2400 python scratch/prof_serving.py > outputs/r4/serving.txt 2>&1
+if [ ! -s outputs/r4/serving.txt ]; then
+  timeout 2400 python scratch/prof_serving.py > outputs/r4/serving.txt 2>&1
+fi
 echo "rc=$?"; tail -8 outputs/r4/serving.txt
 
 echo "[$(TS)] resnetb sub-op decomposition"
-timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
+if [ ! -s outputs/r4/block_decomp.txt ]; then
+  timeout 2400 python scratch/prof_block_decomp.py > outputs/r4/block_decomp.txt 2>&1
+fi
 echo "rc=$?"; tail -9 outputs/r4/block_decomp.txt
 
 echo "[$(TS)] probes done"
