@@ -124,6 +124,27 @@ def rigid_influence(
     return all_w
 
 
+def _kp_contract(infl: jnp.ndarray, nx: jnp.ndarray, tail: str) -> jnp.ndarray:
+    """The KPConv K-contraction: (B,Nq,K,M) influence × (B,Nq,K,C) gathered
+    features → (B,Nq,M,C), f32 accumulation.
+
+    'vpu' writes it as a broadcast multiply + sum over K: XLA fuses the
+    whole chain (gather consumer → product → reduce) on the VPU with no
+    relayout copies, measured 2.0× faster than the 'einsum' batched dot at
+    L0 bench shapes (8.3 vs 16.7 ms, outputs/r4/hoist_variants.txt — the
+    batched dot is a 65k-batch of tiny (15×30)@(30×C) MXU ops whose minor
+    dims force lane-hostile layouts). Same FLOPs, reassociation-level
+    numeric difference only.
+    """
+    if tail == "vpu":
+        return jnp.sum(
+            infl[..., :, None] * nx[..., None, :], axis=2, dtype=jnp.float32
+        )
+    return jnp.einsum(
+        "bqkm,bqkc->bqmc", infl, nx, preferred_element_type=jnp.float32
+    )
+
+
 def kpconv_apply(
     q_pts: jnp.ndarray,
     s_pts: jnp.ndarray,
@@ -163,14 +184,20 @@ def kpconv_apply(
         entirely (features-only gather + contraction); numerics are
         identical because the same function computes it either way.
       tail: contraction form on the precomputed-influence fast path:
-        'einsum' (gather features → 'bqkm,bqkc->bqmc' → (M·Cin,Cout)
-        matmul) | 'gform_dot' | 'gform_vpu' (g-form: fold the weights
-        into SUPPORT features before the gather — g = x @ W, one clean
-        MXU matmul over Ns — then contract the gathered (B,Nq,K,M·Cout)
-        with influence over K·M, deleting the lane-hostile batched dot;
-        '_dot' uses a batched dot_general, '_vpu' a fused multiply-
-        reduce). Identical numerics up to reassociation
-        (scratch/prof_gform.py, tests/test_models.py).
+        'vpu' (the round-4 production default: the K-contraction as a
+        broadcast multiply + sum-over-K on the VPU — XLA fuses it into
+        the gather consumer without the relayout copies the batched dot
+        needs; measured 8.3 vs 16.7 ms at L0 bench shapes,
+        outputs/r4/hoist_variants.txt) | 'einsum' (gather features →
+        'bqkm,bqkc->bqmc' batched dot → (M·Cin,Cout) matmul) |
+        'gform_dot' | 'gform_vpu' (g-form: fold the weights into
+        SUPPORT features before the gather — g = x @ W, one clean MXU
+        matmul over Ns — then contract the gathered (B,Nq,K,M·Cout)
+        with influence over K·M; measured 0.28×/0.20× end-to-end — the
+        M·Cout gather payload is far past the ~512 B/row free-payload
+        knee — kept config-gated as the negative result). All tails are
+        identical numerics up to reassociation (scratch/prof_gform.py,
+        scratch/prof_hoist2.py, tests/test_models.py).
 
     Returns:
       (B, Nq, Cout).
@@ -211,15 +238,10 @@ def kpconv_apply(
                     dtype=jnp.float32,
                 )
             return out.astype(jnp.float32)
-        if tail != "einsum":
+        if tail not in ("einsum", "vpu"):
             raise ValueError(f"unknown kpconv tail {tail!r}")
         nx = group_points(pad_shadow_row(x), neighb_inds)  # (B, Nq, K, Cin)
-        wf = jnp.einsum(
-            "bqkm,bqkc->bqmc",
-            infl,
-            nx.astype(compute_dtype),
-            preferred_element_type=jnp.float32,
-        )
+        wf = _kp_contract(infl, nx.astype(compute_dtype), tail)
         if kp_modulations is not None:
             wf = wf * kp_modulations[..., :, None].astype(wf.dtype)
         out = jax.lax.dot_general(
@@ -327,12 +349,14 @@ def kpconv_apply(
         raise ValueError(f"unknown aggregation mode {aggregation!r}")
 
     nx = nx_gathered  # (B, Nq, K, Cin), shadow → 0
-    # weighted features per kernel point, then the big matmul
-    wf = jnp.einsum(
-        "bqkm,bqkc->bqmc",
+    # weighted features per kernel point, then the big matmul; the
+    # contraction form follows `tail` here too (deformable / non-cached
+    # rigid blocks) — g-form tails only exist on the fast path, so any
+    # other value falls back to the einsum batched dot.
+    wf = _kp_contract(
         all_w.astype(compute_dtype),
         nx.astype(compute_dtype),
-        preferred_element_type=jnp.float32,
+        "vpu" if tail == "vpu" else "einsum",
     )
     if kp_modulations is not None:
         # modulated deformable KPConv (blocks.py:367-369):
@@ -525,6 +549,20 @@ class KPConvLayer(nn.Module):
         return out
 
 
+def _resolve_tail(tail: str, train: bool) -> str:
+    """Resolve kpconv_tail='auto' per mode: the VPU mul-reduce contraction
+    is 7% faster END-TO-END for the training step (379k vs 354k pts/s —
+    its backward avoids the batched dot's transposed-operand relayouts)
+    but 3% slower for inference (958k vs 988k), both measured at bench
+    shapes on v5e (outputs/r4/). 'auto' therefore picks 'vpu' when
+    train=True and 'einsum' otherwise; numerics differ only at
+    reassociation level (tests/test_models.py::test_gform_tail_matches_einsum).
+    """
+    if tail == "auto":
+        return "vpu" if train else "einsum"
+    return tail
+
+
 class SimpleBlock(nn.Module):
     """KPConv → BN → LeakyReLU, output out_dim//2 (blocks.py:507-561)."""
 
@@ -556,7 +594,7 @@ class SimpleBlock(nn.Module):
             modulated=getattr(self.cfg, "modulated", False),
             compute_dtype=self.cfg.compute_dtype,
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
-            tail=getattr(self.cfg, "kpconv_tail", "einsum"),
+            tail=_resolve_tail(getattr(self.cfg, "kpconv_tail", "einsum"), train),
             name="KPConv",
         )
         x = conv(q, pyr.points[l], inds, x, q_mask=out_mask,
@@ -605,7 +643,7 @@ class ResnetBottleneckBlock(nn.Module):
             modulated=getattr(self.cfg, "modulated", False),
             compute_dtype=self.cfg.compute_dtype,
             use_pallas=getattr(self.cfg, "use_pallas_kpconv", False),
-            tail=getattr(self.cfg, "kpconv_tail", "einsum"),
+            tail=_resolve_tail(getattr(self.cfg, "kpconv_tail", "einsum"), train),
             name="KPConv",
         )
         h = conv(q, pyr.points[l], inds, h, q_mask=out_mask,

@@ -150,15 +150,18 @@ class KPConfig:
     # pattern well; the kernel's per-KP small matmuls underutilize the MXU).
     # Kept as groundwork — see ops/pallas/kpconv.py.
     use_pallas_kpconv: bool = False
-    # contraction form of the rigid KPConv tail on the hoisted-influence
-    # fast path: 'einsum' (gather → 'bqkm,bqkc->bqmc' → matmul) |
+    # contraction form of the KPConv K-contraction (all forms are
+    # reassociation-level identical; see blocks._kp_contract /
+    # blocks._resolve_tail and the round-4 measurements in RESULTS.md):
+    # 'auto' (DEFAULT — 'vpu' under train, 'einsum' at eval; each is the
+    # measured end-to-end winner for its mode: train 379k vs 354k pts/s,
+    # infer 988k vs 958k) | 'einsum' (gather → 'bqkm,bqkc->bqmc' batched
+    # dot → matmul) | 'vpu' (broadcast multiply + sum over K) |
     # 'gform_dot' | 'gform_vpu' (fold the (M,Cin,Cout) weights into
-    # support features BEFORE the gather — one clean MXU matmul over Ns —
-    # then contract gathered (B,Nq,K,M·Cout) with influence over K·M;
-    # trades a wider gather payload for deleting the lane-hostile batched
-    # dot; numerics identical up to reassociation). See
-    # scratch/prof_gform.py for the TPU A/B.
-    kpconv_tail: str = "einsum"
+    # support features BEFORE the gather; measured 0.28×/0.20× end-to-end
+    # — the M·Cout gather payload is past the ~512 B/row free-payload
+    # knee — kept as the documented negative result).
+    kpconv_tail: str = "auto"
     # rematerialization policy for the training step: 'none' | 'blocks'
     # (per-conv-block nn.remat — recompute gathered neighbor features and
     # the influence einsum in the backward pass instead of saving them;
@@ -235,7 +238,9 @@ class KPConfig:
             )
         if self.fusion not in ("none", "early", "middle", "late"):
             raise ValueError(f"unknown fusion {self.fusion!r}")
-        if self.kpconv_tail not in ("einsum", "gform_dot", "gform_vpu"):
+        if self.kpconv_tail not in (
+            "auto", "einsum", "vpu", "gform_dot", "gform_vpu"
+        ):
             raise ValueError(f"unknown kpconv_tail {self.kpconv_tail!r}")
         return self
 

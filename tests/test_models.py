@@ -228,7 +228,7 @@ def test_gform_tail_matches_einsum():
             q, q, idx, x, kp, w, ext, kp_modulations=kp_mods,
             precomputed_influence=allw,
         )
-        for tail in ("gform_dot", "gform_vpu"):
+        for tail in ("vpu", "gform_dot", "gform_vpu"):
             got = kpconv_apply(
                 q, q, idx, x, kp, w, ext, kp_modulations=kp_mods,
                 precomputed_influence=allw, tail=tail,
@@ -237,6 +237,16 @@ def test_gform_tail_matches_einsum():
                 np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5,
                 err_msg=f"tail={tail} mods={kp_mods is not None}",
             )
+        # 'vpu' on the GENERAL path (no precomputed influence — the branch
+        # deformable and non-cached rigid blocks take)
+        ref_gen = kpconv_apply(q, q, idx, x, kp, w, ext, kp_modulations=kp_mods)
+        got_gen = kpconv_apply(
+            q, q, idx, x, kp, w, ext, kp_modulations=kp_mods, tail="vpu"
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_gen), np.asarray(ref_gen), rtol=1e-5, atol=1e-5,
+            err_msg=f"general-path vpu mods={kp_mods is not None}",
+        )
     with pytest.raises(ValueError, match="unknown kpconv tail"):
         kpconv_apply(
             q, q, idx, x, kp, w, ext, precomputed_influence=allw, tail="bogus"
@@ -268,6 +278,40 @@ def test_kpfcnn_gform_tail_end_to_end(rng):
         return jnp.sum(out**2)
 
     g = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
+    assert max(norms) > 0 and all(np.isfinite(n) for n in norms)
+
+
+def test_kpconv_tail_auto(rng):
+    """kpconv_tail='auto' (the production default) resolves to 'einsum' at
+    eval — logits must be BITWISE identical to kpconv_tail='einsum' — and
+    to 'vpu' under train=True, where the train-mode forward must match the
+    einsum tail to reassociation tolerance with finite nonzero grads."""
+    from mvkpconv_tpu.models.blocks import _resolve_tail
+
+    assert _resolve_tail("auto", train=False) == "einsum"
+    assert _resolve_tail("auto", train=True) == "vpu"
+    assert _resolve_tail("vpu", train=False) == "vpu"
+
+    pyr, feats = _pyramid_batch(rng, tiny_config())
+    model_auto = KPFCNN(tiny_config(kpconv_tail="auto"))
+    model_einsum = KPFCNN(tiny_config(kpconv_tail="einsum"))
+    variables = model_auto.init(jax.random.PRNGKey(0), feats, pyr)
+    out_auto = np.asarray(model_auto.apply(variables, feats, pyr))
+    out_einsum = np.asarray(model_einsum.apply(variables, feats, pyr))
+    np.testing.assert_array_equal(out_auto, out_einsum)
+
+    def loss_fn(params, model):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            feats, pyr, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out**2)
+
+    l_auto = float(loss_fn(variables["params"], model_auto))
+    l_ein = float(loss_fn(variables["params"], model_einsum))
+    np.testing.assert_allclose(l_auto, l_ein, rtol=1e-4)
+    g = jax.grad(loss_fn)(variables["params"], model_auto)
     norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
     assert max(norms) > 0 and all(np.isfinite(n) for n in norms)
 
