@@ -11,6 +11,8 @@ Exports TWO programs at bench shapes (bench.py cfg):
 
 Prints one summary line per measurement; run via scratch/run_tpu_probes.sh.
 """
+import sys
+sys.path.insert(0, "/root/repo")
 import time
 
 import numpy as np
