@@ -73,21 +73,28 @@ def st_shortcut(xx, o):
     return jax.nn.leaky_relu(o + s, 0.1)
 
 
-chain_time(lambda xx: jnp.sum(st_unary(xx)), "1 unary1")
-chain_time(lambda xx: jnp.sum(st_gather(st_unary(xx))), "2 +gather")
-chain_time(lambda xx: jnp.sum(st_contract(st_gather(st_unary(xx)))),
+
+def s(t):
+    # barrier before the sum: a bare jnp.sum consumer lets XLA collapse the
+    # preceding contraction into a different program (RESULTS.md round-4
+    # microbenchmark-honesty finding)
+    return jnp.sum(jax.lax.optimization_barrier(t).astype(jnp.float32))
+
+chain_time(lambda xx: s(st_unary(xx)), "1 unary1")
+chain_time(lambda xx: s(st_gather(st_unary(xx))), "2 +gather")
+chain_time(lambda xx: s(st_contract(st_gather(st_unary(xx)))),
            "3 +contract")
-chain_time(lambda xx: jnp.sum(st_matmul(st_contract(st_gather(st_unary(xx))))),
+chain_time(lambda xx: s(st_matmul(st_contract(st_gather(st_unary(xx))))),
            "4 +matmul")
-chain_time(lambda xx: jnp.sum(st_bn_act(
+chain_time(lambda xx: s(st_bn_act(
     st_matmul(st_contract(st_gather(st_unary(xx)))))), "5 +bn+act")
-chain_time(lambda xx: jnp.sum(st_unary2(st_bn_act(
+chain_time(lambda xx: s(st_unary2(st_bn_act(
     st_matmul(st_contract(st_gather(st_unary(xx))))))), "6 +unary2")
-chain_time(lambda xx: jnp.sum(st_shortcut(xx, st_unary2(st_bn_act(
+chain_time(lambda xx: s(st_shortcut(xx, st_unary2(st_bn_act(
     st_matmul(st_contract(st_gather(st_unary(xx)))))))), "7 +shortcut (whole)")
 
 # isolation re-checks at the same dims
-chain_time(lambda xx: jnp.sum(st_gather(xx[..., :MID] * 1.0)), "iso gather (MID wide)")
+chain_time(lambda xx: s(st_gather(xx[..., :MID] * 1.0)), "iso gather (MID wide)")
 hk0 = jnp.asarray(rng.randn(B, N, K, MID), jnp.float32).astype(jnp.bfloat16)
-chain_time(lambda xx: jnp.sum(_kp_contract(
+chain_time(lambda xx: s(_kp_contract(
     infl * (1.0 + jnp.sum(xx) * 0e0), hk0, "einsum")), "iso contract")
