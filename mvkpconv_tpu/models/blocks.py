@@ -162,6 +162,7 @@ def kpconv_apply(
     use_pallas: bool = False,
     precomputed_influence: Optional[jnp.ndarray] = None,
     tail: str = "einsum",
+    return_influence: bool = False,
 ):
     """Kernel point convolution (blocks.py:237-374 forward, batched).
 
@@ -198,10 +199,27 @@ def kpconv_apply(
         knee — kept config-gated as the negative result). All tails are
         identical numerics up to reassociation (scratch/prof_gform.py,
         scratch/prof_hoist2.py, tests/test_models.py).
+      return_influence: rigid path only — additionally return the (B, Nq,
+        K, M) influence weights this call computed (f32, pre-modulation,
+        exactly :func:`rigid_influence`'s output). This is how the LAZY
+        influence cache is filled: the first conv block at a pyramid level
+        computes influence riding its own fused position⊕feature gather
+        (payload width is free below the ~512 B/row knee) and deposits it
+        for the level's other blocks, instead of a standalone cache build
+        paying its own position gathers (~3.8M gather starts ≈ 12 ms/step
+        at bench shapes, outputs/r4/phases.txt).
 
     Returns:
-      (B, Nq, Cout).
+      (B, Nq, Cout); with ``return_influence``, ``(out, all_w)``.
     """
+    if return_influence and (
+        precomputed_influence is not None
+        or kp_offsets is not None
+        or return_deform_aux
+    ):
+        raise ValueError(
+            "return_influence requires the self-contained rigid path"
+        )
     if (
         precomputed_influence is not None
         and kp_offsets is None
@@ -270,6 +288,7 @@ def kpconv_apply(
     # gaussian variants and non-TPU backends.
     if (
         use_pallas
+        and not return_influence  # the fused kernel never materializes all_w
         and kp_offsets is None
         and kp_modulations is None
         and not return_deform_aux
@@ -372,6 +391,8 @@ def kpconv_apply(
     out = out.astype(jnp.float32)
     if return_deform_aux:
         return out, deform_aux
+    if return_influence:
+        return out, all_w
     return out
 
 
@@ -491,19 +512,28 @@ class KPConvLayer(nn.Module):
 
     def __call__(
         self, q_pts, s_pts, neighb_inds, x, *, q_mask=None,
-        precomputed_influence=None,
+        precomputed_influence=None, return_influence=False,
     ):
         offsets = None
         modulations = None
+        lazy_w = None
         m = self.num_kernel_points
         if self.deformable:
             # the offset-predicting conv is rigid and shares the level's
-            # geometry, so it consumes the hoisted influence cache even
-            # though the deformed main conv cannot
-            off_feat = self.offset_conv(
-                q_pts, s_pts, neighb_inds, x,
-                precomputed_influence=precomputed_influence,
-            ) + self.offset_bias
+            # geometry, so it consumes the level's influence cache even
+            # though the deformed main conv cannot — and under the lazy
+            # cache policy it is the one that DEPOSITS the level's rigid
+            # influence when this block runs first
+            if return_influence and precomputed_influence is None:
+                off_feat, lazy_w = self.offset_conv(
+                    q_pts, s_pts, neighb_inds, x, return_influence=True
+                )
+            else:
+                off_feat = self.offset_conv(
+                    q_pts, s_pts, neighb_inds, x,
+                    precomputed_influence=precomputed_influence,
+                )
+            off_feat = off_feat + self.offset_bias
             b, nq = off_feat.shape[:2]
             if self.modulated:
                 # first 3K features are offsets, last K are modulations
@@ -531,7 +561,16 @@ class KPConvLayer(nn.Module):
                 None if self.deformable else precomputed_influence
             ),
             tail=self.tail,
+            return_influence=(
+                return_influence
+                and not self.deformable
+                and precomputed_influence is None
+            ),
         )
+        if not self.deformable and return_influence and (
+            precomputed_influence is None
+        ):
+            out, lazy_w = out
         if self.deformable:
             out, (min_d2, deformed_kp) = out
             # consumed by losses.p2p_fitting_regularizer via the
@@ -546,7 +585,7 @@ class KPConvLayer(nn.Module):
                 # its normalization (the reference means over real stacked
                 # points only, architectures.py:21-54)
                 self.sow("intermediates", "deform_mask", q_mask)
-        return out
+        return (out, lazy_w) if return_influence else out
 
 
 def _resolve_tail(tail: str, train: bool) -> str:
@@ -581,7 +620,8 @@ class SimpleBlock(nn.Module):
         q = pyr.points[l + 1] if strided else pyr.points[l]
         inds = pyr.pools[l] if strided else pyr.neighbors[l]
         out_mask = pyr.masks[l + 1] if strided else pyr.masks[l]
-        pi = (infl or {}).get(("pool" if strided else "conv", l))
+        key = ("pool" if strided else "conv", l)
+        pi = infl.get(key) if infl is not None else None
         conv = KPConvLayer(
             in_dim=self.in_dim,
             out_dim=self.out_dim // 2,
@@ -597,8 +637,18 @@ class SimpleBlock(nn.Module):
             tail=_resolve_tail(getattr(self.cfg, "kpconv_tail", "einsum"), train),
             name="KPConv",
         )
-        x = conv(q, pyr.points[l], inds, x, q_mask=out_mask,
-                 precomputed_influence=pi)
+        if infl is not None and pi is None:
+            # lazy influence cache: this block runs the level first, so it
+            # computes the level's rigid influence riding its own fused
+            # position⊕feature gather and deposits it (in compute_dtype,
+            # exactly what build_influence_cache would store) for the
+            # level's other rigid blocks
+            x, w = conv(q, pyr.points[l], inds, x, q_mask=out_mask,
+                        return_influence=True)
+            infl[key] = w.astype(self.cfg.compute_dtype)
+        else:
+            x = conv(q, pyr.points[l], inds, x, q_mask=out_mask,
+                     precomputed_influence=pi)
         x = MaskedBatchNorm(self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn")(
             x, out_mask, train
         )
@@ -623,7 +673,8 @@ class ResnetBottleneckBlock(nn.Module):
         q = pyr.points[l + 1] if strided else pyr.points[l]
         inds = pyr.pools[l] if strided else pyr.neighbors[l]
         out_mask = pyr.masks[l + 1] if strided else pyr.masks[l]
-        pi = (infl or {}).get(("pool" if strided else "conv", l))
+        key = ("pool" if strided else "conv", l)
+        pi = infl.get(key) if infl is not None else None
         mid = self.out_dim // 4
 
         h = x
@@ -646,8 +697,14 @@ class ResnetBottleneckBlock(nn.Module):
             tail=_resolve_tail(getattr(self.cfg, "kpconv_tail", "einsum"), train),
             name="KPConv",
         )
-        h = conv(q, pyr.points[l], inds, h, q_mask=out_mask,
-                 precomputed_influence=pi)
+        if infl is not None and pi is None:
+            # lazy influence cache deposit — see SimpleBlock
+            h, w = conv(q, pyr.points[l], inds, h, q_mask=out_mask,
+                        return_influence=True)
+            infl[key] = w.astype(self.cfg.compute_dtype)
+        else:
+            h = conv(q, pyr.points[l], inds, h, q_mask=out_mask,
+                     precomputed_influence=pi)
         h = MaskedBatchNorm(
             self.cfg.use_batch_norm, self.cfg.batch_norm_momentum, name="bn_conv"
         )(h, out_mask, train)

@@ -66,6 +66,18 @@ def plan_architecture(cfg) -> Tuple[list, list, list]:
     return encoder, decoder, skip_dims
 
 
+def _influence_keys(plans):
+    """(kind, layer) -> radius for every rigid-influence consumer in the
+    architecture plans (every simple/resnetb block, strided = 'pool')."""
+    needed = {}
+    for plan in plans:
+        for name, _i, _o, r, layer, _c in plan:
+            if "simple" in name or "resnetb" in name:
+                kind = "pool" if "strided" in name else "conv"
+                needed[(kind, layer)] = r
+    return needed
+
+
 def influence_cache_bytes(cfg, needed, pyr: Pyramid) -> int:
     """Analytic HBM cost of the hoisted influence cache: one
     (B, Nq, K, M) tensor in ``cfg.compute_dtype`` per (kind, level) entry.
@@ -100,12 +112,7 @@ def build_influence_cache(cfg, plans, pyr: Pyramid):
     """
     from mvkpconv_tpu.models.kernel_points import kernel_point_positions
 
-    needed = {}
-    for plan in plans:
-        for name, _i, _o, r, layer, _c in plan:
-            if "simple" in name or "resnetb" in name:
-                kind = "pool" if "strided" in name else "conv"
-                needed[(kind, layer)] = r
+    needed = _influence_keys(plans)
     if influence_cache_bytes(cfg, needed, pyr) > (
         getattr(cfg, "influence_cache_budget_mb", 1024.0) * 2**20
     ):
@@ -127,6 +134,43 @@ def build_influence_cache(cfg, plans, pyr: Pyramid):
         )
         cache[(kind, layer)] = all_w.astype(cfg.compute_dtype)
     return cache
+
+
+def make_influence_cache(cfg, plans, pyr: Pyramid):
+    """Influence-sharing policy for a model forward. Returns one of:
+
+    * a prebuilt dict — ``cfg.influence_cache == 'prebuilt'`` (production
+      default, the measured winner): :func:`build_influence_cache` hoists
+      every level's rigid influence before the trunk. Round-4 TPU A/B vs
+      'lazy': 987.7k vs 919.6k pts/s inference, 379.4k vs 344.1k train.
+    * ``{}`` — ``'lazy'``: the first rigid conv block at each (kind, level)
+      computes influence riding its own fused position⊕feature gather
+      (`blocks.kpconv_apply(return_influence=True)`) and deposits it for
+      the level's other blocks. Kept as the documented NEGATIVE result:
+      the standalone cache build measures 12.2 ms in isolation
+      (outputs/r4/phases.txt) but its marginal in-step cost is lower than
+      the deposit path's — materializing ``all_w`` as an explicit f32
+      output defeats XLA's fusion of the influence chain into the
+      depositing block (the microbenchmark-honesty finding, RESULTS.md).
+      Also forced to 'prebuilt' under ``cfg.remat == 'blocks'``: a lazy
+      deposit from inside an ``nn.remat``-wrapped block would leak tracers
+      across the checkpoint boundary.
+    * ``None`` — caching disabled (``'none'`` or the analytic cache bytes
+      exceed ``cfg.influence_cache_budget_mb``): every block recomputes
+      influence in place and deposits nothing (identical numerics, no
+      residency).
+    """
+    policy = getattr(cfg, "influence_cache", "prebuilt")
+    if policy == "none":
+        return None
+    needed = _influence_keys(plans)
+    if influence_cache_bytes(cfg, needed, pyr) > (
+        getattr(cfg, "influence_cache_budget_mb", 1024.0) * 2**20
+    ):
+        return None
+    if policy == "lazy" and getattr(cfg, "remat", "none") != "blocks":
+        return {}
+    return build_influence_cache(cfg, plans, pyr)
 
 
 class KPFCNNEncoder(nn.Module):
@@ -204,7 +248,7 @@ class KPCNN(nn.Module):
     @nn.compact
     def __call__(self, features, pyr: Pyramid, train: bool = False):
         enc, _, _ = plan_architecture(self.cfg)
-        infl = build_influence_cache(self.cfg, (enc,), pyr)
+        infl = make_influence_cache(self.cfg, (enc,), pyr)
         x = features
         for i, (name, in_dim, out_dim, r, layer, _) in enumerate(enc):
             if "global" in name:
@@ -238,7 +282,7 @@ class KPFCNN(nn.Module):
         self.head = KPFCNNHead(self.cfg, name="head")
 
     def __call__(self, features, pyr: Pyramid, train: bool = False):
-        infl = build_influence_cache(self.cfg, self._plans, pyr)
+        infl = make_influence_cache(self.cfg, self._plans, pyr)
         x, skips = self.encoder(features, pyr, train, infl=infl)
         x = self.decoder(x, skips, pyr, train, infl=infl)
         return self.head(x, pyr.masks[0], train)

@@ -35,7 +35,7 @@ from mvkpconv_tpu.models.kpfcnn import (
     KPFCNNDecoder,
     KPFCNNEncoder,
     KPFCNNHead,
-    build_influence_cache,
+    make_influence_cache,
     plan_architecture,
 )
 from mvkpconv_tpu.ops import group_points, points_to_pixel_knn, unproject_depth
@@ -159,9 +159,11 @@ class MVKPConv(nn.Module):
             feat_2d3d = self.lift_2d_features(batch, points0, train)
         base = batch["features"]
 
-        # one hoisted influence cache shared by every rigid conv block (and
-        # by both middle-fusion encoders — identical geometry per level)
-        infl = build_influence_cache(
+        # one influence cache shared by every rigid conv block (and by both
+        # middle-fusion encoders — identical geometry per level); lazy by
+        # default: the first block per level deposits (kpfcnn.py:
+        # make_influence_cache)
+        infl = make_influence_cache(
             cfg, (self.encoder.plan, self.decoder.plan), pyr
         )
         if cfg.fusion == "early":

@@ -175,6 +175,14 @@ class KPConfig:
     # cache is skipped automatically and blocks recompute influence
     # in-place, trading ~3% step time for the HBM. 0 disables the cache.
     influence_cache_budget_mb: float = 1024.0
+    # influence-sharing policy: 'prebuilt' (hoisted cache built once before
+    # the trunk — the measured winner: 987.7k vs 919.6k pts/s infer and
+    # 379.4k vs 344.1k train over 'lazy' in the round-4 TPU A/B, see
+    # RESULTS.md) | 'lazy' (first block per level deposits its influence
+    # riding its own fused gather — kept as the documented negative
+    # result) | 'none' (every block recomputes in place; also the
+    # automatic fallback when the analytic bytes exceed the budget).
+    influence_cache: str = "prebuilt"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 
@@ -242,6 +250,10 @@ class KPConfig:
             "auto", "einsum", "vpu", "gform_dot", "gform_vpu"
         ):
             raise ValueError(f"unknown kpconv_tail {self.kpconv_tail!r}")
+        if self.influence_cache not in ("prebuilt", "lazy", "none"):
+            raise ValueError(
+                f"unknown influence_cache {self.influence_cache!r}"
+            )
         return self
 
     # ----- parameters.txt-style round trip (utils/config.py:281-431) -----

@@ -23,7 +23,11 @@ def main():
     import jax.numpy as jnp
 
     from __graft_entry__ import _make_batch
-    from mvkpconv_tpu.eval.export import ServingModel, export_inference
+    from mvkpconv_tpu.eval.export import (
+        ServingModel,
+        batch_spec_for,
+        export_inference,
+    )
     from mvkpconv_tpu.models import MVKPConv
     from mvkpconv_tpu.ops.pyramid import build_pyramid
     from mvkpconv_tpu.training.config import KPConfig
@@ -46,6 +50,9 @@ def main():
     spec = cfg.pyramid_spec()
     rng = np.random.RandomState(0)
     batch = {k: jnp.asarray(v) for k, v in _make_batch(cfg, cfg.batch_num, rng).items()}
+    # The artifact's pytree contract is batch_spec_for's 7 keys; _make_batch
+    # also carries 'labels' (training-only). Serve the exact contract.
+    batch = {k: batch[k] for k in batch_spec_for(cfg, "mvkpconv")}
     pyr0 = jax.jit(lambda p, m: build_pyramid(p, m, spec))(
         batch["points"], batch["mask"]
     )

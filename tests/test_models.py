@@ -357,3 +357,47 @@ def test_influence_cache_budget_fallback(rng):
     np.testing.assert_allclose(
         np.asarray(out_on), np.asarray(out_off), rtol=1e-5, atol=1e-5
     )
+
+
+def test_influence_cache_policy_parity(rng):
+    """The three influence-sharing policies ('prebuilt' hoisted cache —
+    the measured production winner, 'lazy' first-block deposit, 'none'
+    recompute-in-place) are pure scheduling choices: the model's logits
+    must be bit-comparable across all of them, with grads finite under
+    'lazy' (the deposit rides the depositing block's own forward)."""
+    from mvkpconv_tpu.models.kpfcnn import make_influence_cache, plan_architecture
+
+    cfgs = {p: tiny_config(influence_cache=p)
+            for p in ("prebuilt", "lazy", "none")}
+    pyr, feats = _pyramid_batch(rng, cfgs["prebuilt"])
+    plans = plan_architecture(cfgs["prebuilt"])[:2]
+
+    # policy → cache shape contract
+    assert isinstance(
+        make_influence_cache(cfgs["prebuilt"], plans, pyr), dict
+    ) and make_influence_cache(cfgs["prebuilt"], plans, pyr)
+    assert make_influence_cache(cfgs["lazy"], plans, pyr) == {}
+    assert make_influence_cache(cfgs["none"], plans, pyr) is None
+    # remat='blocks' forces prebuilt (lazy deposits would leak tracers
+    # across the nn.remat boundary)
+    assert make_influence_cache(
+        tiny_config(influence_cache="lazy", remat="blocks"), plans, pyr
+    )
+
+    models = {p: KPFCNN(c) for p, c in cfgs.items()}
+    variables = models["prebuilt"].init(jax.random.PRNGKey(0), feats, pyr)
+    outs = {p: np.asarray(m.apply(variables, feats, pyr))
+            for p, m in models.items()}
+    np.testing.assert_allclose(outs["lazy"], outs["prebuilt"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(outs["none"], outs["prebuilt"], rtol=1e-5, atol=1e-5)
+
+    def loss_fn(params):
+        out = models["lazy"].apply(
+            {**variables, "params": params}, feats, pyr,
+            train=True, mutable=["batch_stats", "intermediates"],
+        )[0]
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_fn)(variables["params"])
+    norms = [float(jnp.abs(x).max()) for x in jax.tree_util.tree_leaves(g)]
+    assert max(norms) > 0 and all(np.isfinite(n) for n in norms)
