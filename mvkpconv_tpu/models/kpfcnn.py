@@ -68,7 +68,16 @@ def plan_architecture(cfg) -> Tuple[list, list, list]:
 
 def _influence_keys(plans):
     """(kind, layer) -> radius for every rigid-influence consumer in the
-    architecture plans (every simple/resnetb block, strided = 'pool')."""
+    architecture plans (every simple/resnetb block, strided = 'pool').
+
+    ALL keys are cached, including single-consumer ones (each 'pool' key
+    has exactly one strided consumer at the default architecture): a
+    consumer-count ≥ 2 gating was built and A/B'd end-to-end on the TPU
+    and LOSES 17.6% (813.3k vs 987.7k pts/s) — the standalone prebuilt
+    build computes influence far cheaper than the consumer block can
+    inline (inline it lands on the gather→dot relayout boundary,
+    RESULTS.md kernel findings), so the materialization round trip pays
+    for itself even with one consumer."""
     needed = {}
     for plan in plans:
         for name, _i, _o, r, layer, _c in plan:
