@@ -38,7 +38,12 @@ from mvkpconv_tpu.models.kpfcnn import (
     make_influence_cache,
     plan_architecture,
 )
-from mvkpconv_tpu.ops import group_points, points_to_pixel_knn, unproject_depth
+from mvkpconv_tpu.ops import (
+    group_points,
+    group_points_packed,
+    points_to_pixel_knn,
+    unproject_depth,
+)
 from mvkpconv_tpu.ops.unproject import points_to_pixel_knn_projective
 from mvkpconv_tpu.ops.pyramid import Pyramid
 from mvkpconv_tpu.models.unet2d import UNetResNet34
@@ -131,18 +136,34 @@ class MVKPConv(nn.Module):
 
         train_2d = train and not self.freeze_2d
         preds = self.net_2d(images.reshape(b * v, h, w, 3), train=train_2d)
-        feat = preds["feature"].reshape(b, v * h * w, -1)
+        # round to compute_dtype BEFORE the gather: the aggregation MLP's
+        # Dense casts its input to compute_dtype anyway (bf16→f32→bf16 is
+        # exact), so this is numerically free and unlocks the packed
+        # half-source gather below (the UNet's trailing BN upcasts to f32)
+        feat = preds["feature"].reshape(b, v * h * w, -1).astype(
+            self.cfg.compute_dtype
+        )
         if self.freeze_2d:
             feat = jax.lax.stop_gradient(feat)
         # ONE gather for pixel positions ⊕ features (identical indices; TPU
-        # gathers are start-bound and payload-width-insensitive ≤128 lanes)
-        payload = jnp.concatenate(
-            [image_xyz.reshape(b, v * h * w, 3), feat.astype(image_xyz.dtype)],
-            axis=-1,
-        )
-        grouped = group_points(payload, knn_idx)  # (B, N, K, 3+64)
-        pixel_xyz = grouped[..., :3]
-        pixel_feat = grouped[..., 3:]
+        # gathers are start-bound). At this source size (B·V·H·W = 384k
+        # rows) the start rate is source-byte-sensitive (65M vs 144M
+        # starts/s f32 vs bf16, scratch/prof_lift_gather.py), so when the
+        # UNet features are bf16 they ride the gather PACKED into f32
+        # lanes — numerically exact, xyz stays f32 (ops/gather.py:
+        # group_points_packed).
+        xyz_src = image_xyz.reshape(b, v * h * w, 3).astype(jnp.float32)
+        if feat.dtype == jnp.bfloat16 and feat.shape[-1] % 2 == 0:
+            pixel_xyz, pixel_feat = group_points_packed(
+                xyz_src, feat, knn_idx
+            )
+        else:
+            payload = jnp.concatenate(
+                [xyz_src, feat.astype(jnp.float32)], axis=-1
+            )
+            grouped = group_points(payload, knn_idx)  # (B, N, K, 3+64)
+            pixel_xyz = grouped[..., :3]
+            pixel_feat = grouped[..., 3:]
         return self.feat_aggreg(pixel_xyz, points, pixel_feat, train)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], pyr: Pyramid, train: bool = False):
@@ -160,9 +181,9 @@ class MVKPConv(nn.Module):
         base = batch["features"]
 
         # one influence cache shared by every rigid conv block (and by both
-        # middle-fusion encoders — identical geometry per level); lazy by
-        # default: the first block per level deposits (kpfcnn.py:
-        # make_influence_cache)
+        # middle-fusion encoders — identical geometry per level); prebuilt
+        # by default — the measured winner over lazy deposits and over
+        # consumer-count gating (kpfcnn.py:make_influence_cache)
         infl = make_influence_cache(
             cfg, (self.encoder.plan, self.decoder.plan), pyr
         )

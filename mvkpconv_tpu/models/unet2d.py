@@ -35,21 +35,19 @@ class BasicBlock(nn.Module):
             self.filters, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(y)
+        y = _bn(self.dtype, train, "bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.filters, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
             name="conv2",
         )(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(y)
+        y = _bn(self.dtype, train, "bn2")(y)
         if self.stride != 1 or x.shape[-1] != self.filters:
             residual = nn.Conv(
                 self.filters, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="proj",
             )(x)
-            residual = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, name="proj_bn"
-            )(residual)
+            residual = _bn(self.dtype, train, "proj_bn")(residual)
         return nn.relu(y + residual)
 
 
@@ -62,7 +60,7 @@ class _DeconvBlock(nn.Module):
         x = nn.ConvTranspose(
             self.filters, (2, 2), strides=(2, 2), dtype=self.dtype, name="deconv"
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        x = _bn(self.dtype, train, "bn")(x)
         return nn.relu(x)
 
 
@@ -76,8 +74,25 @@ class _ConvBlock(nn.Module):
             self.filters, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
             name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn")(x)
+        x = _bn(self.dtype, train, "bn")(x)
         return nn.relu(x)
+
+
+def _bn(dtype, train: bool, name: str):
+    """BatchNorm in ``dtype`` at eval, f32 under train.
+
+    At eval BN is a pure scale+shift, so running it in the surrounding
+    compute dtype (bf16) keeps activations bf16 end-to-end — the UNet is
+    HBM-bound on its full-resolution stem activations (RESULTS.md), and
+    f32 BN outputs were doubling that traffic. Under train the batch
+    moments keep f32 accumulation (flax computes statistics in dtype, so
+    we pin f32 there — same numerics as before this optimization)."""
+    return nn.BatchNorm(
+        use_running_average=not train,
+        momentum=0.9,
+        dtype=None if train else dtype,
+        name=name,
+    )
 
 
 RESNET34_LAYERS = ((64, 3), (128, 4), (256, 6), (512, 3))
@@ -103,7 +118,7 @@ class UNetResNet34(nn.Module):
             64, (7, 7), strides=(1, 1), padding=3, use_bias=False,
             dtype=self.dtype, name="encoder0",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn0")(x)
+        x = _bn(self.dtype, train, "bn0")(x)
         x = nn.relu(x)
         skips.append(x)  # full res, 64ch
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -18,7 +18,11 @@ All ops take/return fixed-shape arrays; padding uses the shadow convention
 
 from mvkpconv_tpu.ops.common import SHADOW_COORD, masked_points, pairwise_sq_dists
 from mvkpconv_tpu.ops.neighbors import ball_query, knn, radius_neighbors
-from mvkpconv_tpu.ops.gather import batch_index_select, group_points
+from mvkpconv_tpu.ops.gather import (
+    batch_index_select,
+    group_points,
+    group_points_packed,
+)
 from mvkpconv_tpu.ops.sampling import farthest_point_sample, grid_subsample
 from mvkpconv_tpu.ops.interpolate import three_nn_interpolate
 from mvkpconv_tpu.ops.unproject import points_to_pixel_knn, unproject_depth
@@ -32,6 +36,7 @@ __all__ = [
     "ball_query",
     "radius_neighbors",
     "group_points",
+    "group_points_packed",
     "batch_index_select",
     "farthest_point_sample",
     "grid_subsample",

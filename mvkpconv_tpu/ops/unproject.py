@@ -209,12 +209,26 @@ def points_to_pixel_knn_projective(
         patches = (
             pt.reshape(b * v, 3, ww, hp, wp)
             .transpose(0, 3, 4, 1, 2)
-            .reshape(b * v * hp * wp, 3 * ww)
+            .reshape(b, v, hp * wp, 3 * ww)
         )  # per-view planar rows [x₀..x_{ww-1}, y…, z…] — the lane order
-        # the selection kernel slices coordinate planes from
-        flat_rows = (anchor + bv_base).transpose(0, 2, 1).reshape(-1)
-        rows = jnp.take(patches, flat_rows, axis=0)  # (B·N·V, 3·ww)
-        cand = rows.reshape(b, n, v * 3 * ww)
+        # the selection kernel slices coordinate planes from.
+        # ONE take per view, not one take over the b·v-folded source: the
+        # gather start rate collapses ~3× once the source tensor passes
+        # ~64 MB (scratch/prof_lift_gather.py — 171M starts/s at ≤26 MB,
+        # 59-65M at 103 MB), and each row's candidates come from exactly
+        # one view, so per-view takes keep every source at b·hp·wp rows
+        # (~21 MB here) with the same total start count (measured 5.5 →
+        # ~2 ms on the 327k-row gather).
+        row_base = jnp.arange(b, dtype=jnp.int32)[:, None] * (hp * wp)
+        per_view = [
+            jnp.take(
+                patches[:, vi].reshape(b * hp * wp, 3 * ww),
+                (anchor[:, vi, :] + row_base).reshape(-1),
+                axis=0,
+            ).reshape(b, n, 3 * ww)
+            for vi in range(v)
+        ]
+        cand = jnp.stack(per_view, axis=2).reshape(b, n, v * 3 * ww)
         # anchors ride into the kernel (iv0 << 16 | iu0) so the winning
         # slots decode to flat pixel indices in-kernel — the XLA-side
         # take_along_axis decode alone measured ~4 ms/step
