@@ -109,6 +109,65 @@ def project_to_views(
     return u, v
 
 
+def pallas_candidate_rows(img: jnp.ndarray, anchor: jnp.ndarray,
+                          window: int) -> jnp.ndarray:
+    """Candidate-window rows for the Pallas pixel-selection kernel.
+
+    Patch build runs on PLANAR single-coordinate images: the (tiny)
+    (B,V,H,W,3)→(B·V·3,H,W) transpose first, so the window² stack writes
+    are wide contiguous planes, then one row-major transpose of the patch
+    image — measured ~4.5 ms faster end-to-end than stacking channel-last
+    slices directly into row layout. Rows are per-view planar
+    [x₀..x_{ww-1}, y…, z…] — the lane order the kernel slices coordinate
+    planes from.
+
+    The anchor rows are fetched with ONE take per view, not one take over
+    the b·v-folded source: the gather start rate collapses ~3× once the
+    source tensor passes ~64 MB (scratch/prof_lift_gather.py — 171M
+    starts/s at ≤26 MB, 59-65M at 103 MB), and each row's candidates come
+    from exactly one view, so per-view takes keep every source at
+    b·hp·wp rows (~21 MB at bench shapes) with the same total start count
+    (measured 5.5 → ~2 ms on the 327k-row gather). Equivalence with the
+    folded single-take form is pinned by
+    tests/test_pixel_select.py::test_per_view_candidate_assembly.
+
+    Args:
+      img: (B, V, H, W, 3) pixel positions (any float dtype).
+      anchor: (B, V, N) int32 window-corner rows, iv0 * wp + iu0 with
+        corners clipped in-bounds.
+      window: window side.
+
+    Returns:
+      (B, N, V·3·window²) candidate rows, ordered view-major per point.
+    """
+    b, v, h, w, _ = img.shape
+    n = anchor.shape[-1]
+    ww = window * window
+    hp, wp = h - window + 1, w - window + 1
+    planar = jnp.transpose(img, (0, 1, 4, 2, 3)).reshape(b * v * 3, h, w)
+    pshifts = [
+        planar[:, dy : dy + hp, dx : dx + wp]
+        for dy in range(window)
+        for dx in range(window)
+    ]
+    pt = jnp.stack(pshifts, axis=1)  # (B·V·3, ww, hp, wp)
+    patches = (
+        pt.reshape(b * v, 3, ww, hp, wp)
+        .transpose(0, 3, 4, 1, 2)
+        .reshape(b, v, hp * wp, 3 * ww)
+    )
+    row_base = jnp.arange(b, dtype=jnp.int32)[:, None] * (hp * wp)
+    per_view = [
+        jnp.take(
+            patches[:, vi].reshape(b * hp * wp, 3 * ww),
+            (anchor[:, vi, :] + row_base).reshape(-1),
+            axis=0,
+        ).reshape(b, n, 3 * ww)
+        for vi in range(v)
+    ]
+    return jnp.stack(per_view, axis=2).reshape(b, n, v * 3 * ww)
+
+
 def points_to_pixel_knn_projective(
     points: jnp.ndarray,
     image_xyz: jnp.ndarray,
@@ -191,44 +250,10 @@ def points_to_pixel_knn_projective(
             method = "minext"
     if method == "pallas":
         # fused VPU selection: d² + packed top-k extraction in one kernel
-        # (selection cost in the XLA paths is per-row sort/bin overhead).
-        # Patch build runs on PLANAR single-coordinate images: the (tiny)
-        # (B,V,H,W,3)→(B·V·3,H,W) transpose first, so the window² stack
-        # writes are wide contiguous planes, then one row-major transpose
-        # of the patch image — measured ~4.5 ms faster end-to-end than
-        # stacking the channel-last slices directly into row layout.
+        # (selection cost in the XLA paths is per-row sort/bin overhead)
         from mvkpconv_tpu.ops.pallas.pixel_select import pixel_topk_indices
 
-        planar = jnp.transpose(img, (0, 1, 4, 2, 3)).reshape(b * v * 3, h, w)
-        pshifts = [
-            planar[:, dy : dy + hp, dx : dx + wp]
-            for dy in range(window)
-            for dx in range(window)
-        ]
-        pt = jnp.stack(pshifts, axis=1)  # (B·V·3, ww, hp, wp)
-        patches = (
-            pt.reshape(b * v, 3, ww, hp, wp)
-            .transpose(0, 3, 4, 1, 2)
-            .reshape(b, v, hp * wp, 3 * ww)
-        )  # per-view planar rows [x₀..x_{ww-1}, y…, z…] — the lane order
-        # the selection kernel slices coordinate planes from.
-        # ONE take per view, not one take over the b·v-folded source: the
-        # gather start rate collapses ~3× once the source tensor passes
-        # ~64 MB (scratch/prof_lift_gather.py — 171M starts/s at ≤26 MB,
-        # 59-65M at 103 MB), and each row's candidates come from exactly
-        # one view, so per-view takes keep every source at b·hp·wp rows
-        # (~21 MB here) with the same total start count (measured 5.5 →
-        # ~2 ms on the 327k-row gather).
-        row_base = jnp.arange(b, dtype=jnp.int32)[:, None] * (hp * wp)
-        per_view = [
-            jnp.take(
-                patches[:, vi].reshape(b * hp * wp, 3 * ww),
-                (anchor[:, vi, :] + row_base).reshape(-1),
-                axis=0,
-            ).reshape(b, n, 3 * ww)
-            for vi in range(v)
-        ]
-        cand = jnp.stack(per_view, axis=2).reshape(b, n, v * 3 * ww)
+        cand = pallas_candidate_rows(img, anchor, window)
         # anchors ride into the kernel (iv0 << 16 | iu0) so the winning
         # slots decode to flat pixel indices in-kernel — the XLA-side
         # take_along_axis decode alone measured ~4 ms/step

@@ -115,3 +115,43 @@ def test_production_path_off_tpu_falls_back():
     d_got = np.sort(np.linalg.norm(flat[idx[0]] - pts[:, None], axis=-1), -1)
     d_ex = np.sort(np.linalg.norm(flat[ex[0]] - pts[:, None], axis=-1), -1)
     np.testing.assert_allclose(d_got, d_ex, rtol=2e-4, atol=1e-5)
+
+
+def test_per_view_candidate_assembly():
+    """The production candidate assembly (ops/unproject.py:
+    pallas_candidate_rows — one take per view, keeping every gather
+    source under the measured ~64 MB start-rate cliff) must be exactly
+    the b·v-folded single-take assembly it replaced."""
+    points, image_xyz, intr, poses = _setup()
+    window = 5
+    b, v, h, w, _ = image_xyz.shape
+    n = points.shape[1]
+    ww = window * window
+    hp, wp = h - window + 1, w - window + 1
+    u, vv = project_to_views(points, intr, poses)
+    iu0 = jnp.clip(jnp.round(u).astype(jnp.int32) - window // 2, 0, w - window)
+    iv0 = jnp.clip(jnp.round(vv).astype(jnp.int32) - window // 2, 0, h - window)
+    anchor = iv0 * wp + iu0
+
+    from mvkpconv_tpu.ops.unproject import pallas_candidate_rows
+
+    got = pallas_candidate_rows(image_xyz, anchor, window)
+    assert got.shape == (b, n, v * 3 * ww)
+
+    # independent reference: the folded single-take form
+    planar = jnp.transpose(image_xyz, (0, 1, 4, 2, 3)).reshape(b * v * 3, h, w)
+    pshifts = [
+        planar[:, dy : dy + hp, dx : dx + wp]
+        for dy in range(window)
+        for dx in range(window)
+    ]
+    pt = jnp.stack(pshifts, axis=1)
+    patches = (
+        pt.reshape(b * v, 3, ww, hp, wp)
+        .transpose(0, 3, 4, 1, 2)
+        .reshape(b * v * hp * wp, 3 * ww)
+    )
+    bv_base = (jnp.arange(b * v, dtype=jnp.int32) * (hp * wp)).reshape(b, v, 1)
+    flat_rows = (anchor + bv_base).transpose(0, 2, 1).reshape(-1)
+    want = jnp.take(patches, flat_rows, axis=0).reshape(b, n, v * 3 * ww)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
