@@ -16,6 +16,53 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# How the gather's VJP materializes d_features. Measured on TPU v5e at the
+# L0 bench shape (1.97M rows, 65k targets, C=32):
+#   'scatter' — jnp .at[].add, XLA's native take-transpose: 58M rows/s.
+#   'sorted'  — sort rows by target + permuted gather + blocked cumsum +
+#               boundary diff: every stage runs at gather/VPU speed
+#               (sortpair 5.2 ms, perm-take 6.6 ms, blocked cumsum 6.0 ms).
+#               Exact up to f32 reassociation (it ACCUMULATES in f32, which
+#               is equal-or-better precision than the scatter's ct-dtype
+#               adds). The backward-scatter path is 117.7 ms of the 119 ms
+#               train-step backward (scratch/prof_scatter_share.py), which
+#               is why this is switchable at all.
+_TRANSPOSE_MODE = "scatter"
+
+_TRANSPOSE_BLK = 512  # rows per cumsum block in the sorted transpose
+
+
+def set_gather_transpose(mode: str) -> None:
+    """Select the group_points VJP implementation ('scatter' | 'sorted').
+
+    Read at TRACE time of the backward: set it before the first gradient
+    trace (make_train_step does this from KPConfig.gather_transpose).
+    """
+    global _TRANSPOSE_MODE
+    if mode not in ("scatter", "sorted"):
+        raise ValueError(f"unknown gather transpose mode {mode!r}")
+    _TRANSPOSE_MODE = mode
+
+
+def get_gather_transpose() -> str:
+    return _TRANSPOSE_MODE
+
+
+def _gather_rows(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    batch_shape = index.shape[:-2]
+    nq, k = index.shape[-2], index.shape[-1]
+    ns, c = features.shape[-2], features.shape[-1]
+    if batch_shape != features.shape[:-2]:
+        raise ValueError(
+            f"batch dims mismatch: features {features.shape} index {index.shape}"
+        )
+    flat_idx, b = _flatten_index(index, batch_shape, ns)
+    flat_feat = features.reshape(b * ns, c)
+    out = jnp.take(flat_feat, flat_idx, axis=0)
+    return out.reshape(batch_shape + (nq, k, c))
+
+
+@jax.custom_vjp
 def group_points(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """Gather per-point features at neighbor indices.
 
@@ -26,31 +73,101 @@ def group_points(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
       index: (..., Nq, K) int32 indices into the Ns axis.
 
     Returns:
-      (..., Nq, K, C) gathered features. Differentiable (VJP = scatter-add,
-      matching group_points_kernel.cu backward).
+      (..., Nq, K, C) gathered features. Differentiable (VJP = scatter-add
+      or the sorted segment-sum transpose, see ``set_gather_transpose``;
+      both match group_points_kernel.cu's backward semantics).
 
     Perf note: the batch dims are folded into the row axis and gathered with
     a single flat ``jnp.take`` — measured 3× faster on TPU than the batched
     ``take_along_axis`` lowering (the gather is start-bound at ~340-440M
     starts/s in flat form, independent of payload and source size).
     """
+    return _gather_rows(features, index)
+
+
+def _group_points_fwd(features, index):
+    # zero-byte marker carrying Ns and the feature dtype statically
+    # (residuals must be JAX types — shape tuples/dtypes are not)
+    marker = jnp.zeros((features.shape[-2], 0), features.dtype)
+    return _gather_rows(features, index), (index, marker)
+
+
+def _transpose_scatter(ct, index, feat_shape):
+    """XLA's native take-transpose: one flat scatter-add (ct dtype)."""
     batch_shape = index.shape[:-2]
-    nq, k = index.shape[-2], index.shape[-1]
-    ns, c = features.shape[-2], features.shape[-1]
-    if batch_shape != features.shape[:-2]:
-        raise ValueError(
-            f"batch dims mismatch: features {features.shape} index {index.shape}"
-        )
-    b = 1
-    for d in batch_shape:
-        b *= d
-    flat_feat = features.reshape(b * ns, c)
-    row_base = (jnp.arange(b, dtype=index.dtype) * ns).reshape(
-        (b,) + (1,) * (index.ndim - len(batch_shape))
+    ns, c = feat_shape[-2], feat_shape[-1]
+    flat_idx, b = _flatten_index(index, batch_shape, ns)
+    d = (
+        jnp.zeros((b * ns, c), ct.dtype)
+        .at[flat_idx].add(ct.reshape(-1, c))
     )
-    flat_idx = (index.reshape((b,) + index.shape[len(batch_shape):]) + row_base)
-    out = jnp.take(flat_feat, flat_idx.reshape(-1), axis=0)
-    return out.reshape(batch_shape + (nq, k, c))
+    return d.reshape(feat_shape)
+
+
+def _transpose_sorted(ct, index, feat_shape):
+    """Exact segment-sum transpose at gather speed.
+
+    Sort the cotangent rows by target row id (stable pair sort), gather
+    them into segment-contiguous order, then compute per-target sums as a
+    boundary difference of a BLOCKED cumulative sum — a flat cumsum over
+    millions of rows lowers catastrophically on TPU (85 ms at L0), but a
+    (nblk, 512, C) axis-1 cumsum is 6 ms for the same elements. Segment
+    boundaries come from a vectorized binary search over the sorted ids.
+    Accumulation is f32 regardless of ct dtype.
+    """
+    batch_shape = index.shape[:-2]
+    ns, c = feat_shape[-2], feat_shape[-1]
+    flat_idx, b = _flatten_index(index, batch_shape, ns)
+    rows = ct.reshape(-1, c)
+    n_rows = rows.shape[0]
+    tgts = b * ns
+    blk = _TRANSPOSE_BLK
+
+    iota = jnp.arange(n_rows, dtype=jnp.int32)
+    sorted_idx, perm = jax.lax.sort(
+        (flat_idx.astype(jnp.int32), iota), num_keys=1
+    )
+    srows = jnp.take(rows.astype(jnp.float32), perm, axis=0)
+    # barriers: without them XLA fuses the take / the cumsum into one loop
+    # fusion and re-evaluates producers per window position
+    srows = jax.lax.optimization_barrier(srows)
+    pad = (-n_rows) % blk
+    if pad:
+        srows = jnp.concatenate(
+            [srows, jnp.zeros((pad, c), jnp.float32)], axis=0
+        )
+    nblk = srows.shape[0] // blk
+    inner = jnp.cumsum(srows.reshape(nblk, blk, c), axis=1)
+    inner = jax.lax.optimization_barrier(inner)
+    btot = inner[:, -1, :]
+    # exclusive block prefix with a final all-blocks entry (boundary at the
+    # very end lands in the virtual block past the last)
+    bpre = jnp.concatenate(
+        [jnp.zeros((1, c), jnp.float32), jnp.cumsum(btot, axis=0)], axis=0
+    )
+    starts = jnp.searchsorted(
+        sorted_idx, jnp.arange(tgts + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    inner_flat = inner.reshape(nblk * blk, c)
+    in_blk = jnp.take(
+        inner_flat, jnp.maximum(starts - 1, 0), axis=0
+    ) * (starts % blk != 0).astype(jnp.float32)[:, None]
+    cs = in_blk + jnp.take(bpre, starts // blk, axis=0)
+    return (cs[1:] - cs[:-1]).reshape(feat_shape)
+
+
+def _group_points_bwd(res, ct):
+    index, marker = res
+    feat_shape = index.shape[:-2] + (marker.shape[0], ct.shape[-1])
+    if _TRANSPOSE_MODE == "sorted":
+        d_feat = _transpose_sorted(ct, index, feat_shape)
+    else:
+        d_feat = _transpose_scatter(ct, index, feat_shape)
+    d_index = np.zeros(index.shape, dtype=jax.dtypes.float0)
+    return d_feat.astype(marker.dtype), d_index
+
+
+group_points.defvjp(_group_points_fwd, _group_points_bwd)
 
 
 def _flatten_index(index, batch_shape, ns):

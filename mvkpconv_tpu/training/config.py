@@ -183,6 +183,14 @@ class KPConfig:
     # result) | 'none' (every block recomputes in place; also the
     # automatic fallback when the analytic bytes exceed the budget).
     influence_cache: str = "prebuilt"
+    # VJP of the neighbor-feature gathers (ops/gather.py): 'scatter' (XLA's
+    # native take-transpose scatter-add, 58M rows/s on v5e) | 'sorted'
+    # (sort-by-target + permuted gather + blocked cumsum + boundary diff —
+    # every stage at gather/VPU speed; exact up to f32 reassociation and
+    # accumulates in f32). The scatter path is 117.7 ms of the 119 ms
+    # train-step backward at bench shapes (scratch/prof_scatter_share.py).
+    # Applied by make_train_step via set_gather_transpose.
+    gather_transpose: str = "scatter"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 

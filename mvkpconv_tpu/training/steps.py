@@ -86,6 +86,12 @@ def make_train_step(
 ):
     """Build the jitted training step (forward+backward+update)."""
 
+    from mvkpconv_tpu.ops.gather import set_gather_transpose
+
+    # module-level, read at backward TRACE time (i.e. inside this step's
+    # first jit execution) — the eval/inference paths never reach it
+    set_gather_transpose(getattr(cfg, "gather_transpose", "scatter"))
+
     has_deform = any("deform" in b for b in getattr(cfg, "architecture", ()))
     mutable = ["batch_stats"] + (["intermediates"] if has_deform else [])
 

@@ -1,0 +1,166 @@
+"""Parity of the two group_points VJP modes (ops/gather.py).
+
+'sorted' replaces the take-transpose scatter-add (58M rows/s on TPU v5e,
+117.7 ms of the 119 ms train backward at bench shapes) with a sort +
+permuted gather + blocked cumsum + boundary diff, exact up to f32
+reassociation. These tests pin exactness against a numpy scatter oracle
+and grad parity through a real KPConv block and a full fusion train step.
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvkpconv_tpu.ops.gather import (
+    get_gather_transpose,
+    group_points,
+    pad_shadow_row,
+    set_gather_transpose,
+)
+
+
+@contextlib.contextmanager
+def transpose_mode(mode):
+    prev = get_gather_transpose()
+    set_gather_transpose(mode)
+    try:
+        yield
+    finally:
+        set_gather_transpose(prev)
+
+
+def _numpy_scatter_oracle(ct, index, ns):
+    """d_features for out = features[index] with float64 accumulation."""
+    b = int(np.prod(index.shape[:-2])) if index.ndim > 2 else 1
+    c = ct.shape[-1]
+    flat_ct = np.asarray(ct, np.float64).reshape(-1, c)
+    base = (np.arange(b) * ns).reshape((b,) + (1,) * (index.ndim - (index.ndim - 2)))
+    flat_idx = (np.asarray(index).reshape(b, -1) + np.arange(b)[:, None] * ns).reshape(-1)
+    d = np.zeros((b * ns, c), np.float64)
+    np.add.at(d, flat_idx, flat_ct)
+    return d.reshape(index.shape[:-2] + (ns, c))
+
+
+@pytest.mark.parametrize("mode", ["scatter", "sorted"])
+@pytest.mark.parametrize(
+    "b,ns,nq,k,c", [(2, 37, 29, 5, 8), (1, 64, 64, 1, 3), (3, 16, 40, 7, 10)]
+)
+def test_vjp_matches_numpy_oracle(mode, b, ns, nq, k, c, rng):
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    # include shadow index ns-1 collisions and duplicates
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+
+    with transpose_mode(mode):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        (d_feat,) = jax.jit(pull)(ct)
+
+    oracle = _numpy_scatter_oracle(ct, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
+
+
+def test_sorted_matches_scatter_bf16_cotangent(rng):
+    b, ns, nq, k, c = 2, 50, 30, 6, 4
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.bfloat16)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32).astype(jnp.bfloat16)
+
+    outs = {}
+    for mode in ("scatter", "sorted"):
+        with transpose_mode(mode):
+            _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+            outs[mode] = np.asarray(pull(ct)[0], np.float32)
+    # sorted accumulates in f32 (>= scatter's bf16 adds); compare loosely
+    np.testing.assert_allclose(outs["sorted"], outs["scatter"], rtol=0.05, atol=0.05)
+
+
+def test_vjp_with_shadow_rows(rng):
+    """Shadow index == Ns lands on the padded row; its grad is discarded
+    by the pad's own slice-VJP — both modes must agree through the pad."""
+    b, ns, nq, k, c = 2, 24, 18, 4, 5
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns + 1, (b, nq, k)), jnp.int32)
+
+    def f(x):
+        return jnp.sum(group_points(pad_shadow_row(x), index) ** 2)
+
+    grads = {}
+    for mode in ("scatter", "sorted"):
+        with transpose_mode(mode):
+            grads[mode] = np.asarray(jax.jit(jax.grad(f))(feats))
+    np.testing.assert_allclose(grads["sorted"], grads["scatter"], rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_grad_parity_full_model(rng):
+    """Loss + gradients of the fusion train step agree across modes."""
+    from mvkpconv_tpu.models import MVKPConv
+    from mvkpconv_tpu.ops.pyramid import build_pyramid
+    from mvkpconv_tpu.training.config import KPConfig
+    from mvkpconv_tpu.training.init import jit_init
+    from mvkpconv_tpu.training.losses import segmentation_cross_entropy
+    from mvkpconv_tpu.training.steps import make_apply_fn
+    from __graft_entry__ import _make_batch
+
+    cfg = KPConfig(
+        fusion="early",
+        in_features_dim=66,
+        feature_2d_dim=64,
+        num_points=(128, 32, 8),
+        conv_neighbors=(6, 6, 6),
+        pool_neighbors=(6, 6),
+        num_views=2,
+        image_height=16,
+        image_width=20,
+        batch_num=2,
+        first_features_dim=16,
+        architecture=(
+            "simple", "resnetb", "resnetb_strided", "resnetb",
+            "resnetb_strided", "resnetb",
+            "nearest_upsample", "unary", "nearest_upsample", "unary",
+        ),
+    )
+    model = MVKPConv(cfg)
+    batch = {k: jnp.asarray(v) for k, v in _make_batch(cfg, 2, rng).items()}
+    spec = cfg.pyramid_spec()
+    pyr0 = build_pyramid(batch["points"], batch["mask"], spec)
+    variables = jit_init(model, batch, pyr0)
+    apply_fn = make_apply_fn(model, cfg, "mvkpconv")
+
+    def loss_of(params):
+        logits, _ = apply_fn(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            batch, True, ["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return segmentation_cross_entropy(
+            logits, batch["labels"], batch.get("mask"),
+            ignore_label=cfg.ignore_label,
+        )
+
+    results = {}
+    for mode in ("scatter", "sorted"):
+        with transpose_mode(mode):
+            loss, grads = jax.jit(jax.value_and_grad(loss_of))(
+                variables["params"]
+            )
+            results[mode] = (float(loss), jax.tree.map(np.asarray, grads))
+
+    assert np.isclose(results["scatter"][0], results["sorted"][0], rtol=1e-6)
+    flat_s = jax.tree.leaves(results["scatter"][1])
+    flat_o = jax.tree.leaves(results["sorted"][1])
+    for a, b in zip(flat_s, flat_o):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_config_wires_mode_into_step():
+    from mvkpconv_tpu.training.config import KPConfig
+    from mvkpconv_tpu.training.steps import make_train_step
+    import optax
+
+    cfg = KPConfig(gather_transpose="sorted")
+    with transpose_mode("scatter"):
+        make_train_step(lambda *a, **k: None, optax.sgd(0.1), cfg)
+        assert get_gather_transpose() == "sorted"
