@@ -33,13 +33,14 @@ _TRANSPOSE_BLK = 512  # rows per cumsum block in the sorted transpose
 
 
 def set_gather_transpose(mode: str) -> None:
-    """Select the group_points VJP implementation ('scatter' | 'sorted').
+    """Select the group_points VJP implementation
+    ('scatter' | 'sorted' | 'window').
 
     Read at TRACE time of the backward: set it before the first gradient
     trace (make_train_step does this from KPConfig.gather_transpose).
     """
     global _TRANSPOSE_MODE
-    if mode not in ("scatter", "sorted"):
+    if mode not in ("scatter", "sorted", "window"):
         raise ValueError(f"unknown gather transpose mode {mode!r}")
     _TRANSPOSE_MODE = mode
 
@@ -156,11 +157,96 @@ def _transpose_sorted(ct, index, feat_shape):
     return (cs[1:] - cs[:-1]).reshape(feat_shape)
 
 
+def _blocked_cumsum_1d(v: jnp.ndarray, blk: int) -> jnp.ndarray:
+    """Inclusive cumsum over a long 1-D vector via (nblk, blk) blocks.
+
+    A flat million-row cumsum lowers catastrophically on TPU (85 ms at L0
+    bench rows); the same elements as an axis-1 cumsum over blk-wide
+    blocks plus a tiny block-prefix run at VPU speed.
+    """
+    n = v.shape[0]
+    pad = (-n) % blk
+    vp = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)]) if pad else v
+    nb = vp.shape[0] // blk
+    inner = jnp.cumsum(vp.reshape(nb, blk), axis=1)
+    bpre = jnp.concatenate(
+        [jnp.zeros((1,), v.dtype), jnp.cumsum(inner[:, -1])]
+    )[:-1]
+    return (inner + bpre[:, None]).reshape(-1)[:n]
+
+
+def _transpose_window(ct, index, feat_shape):
+    """Sorted + compressed-rank windowed one-hot-matmul segment sum.
+
+    Same sort/permute front end as ``_transpose_sorted``, but the segment
+    reduction runs on the MXU inside a Pallas kernel
+    (ops/pallas/segsum.py): each 512-row block's partial sums are one
+    exact (W,512)×(512,C) one-hot matmul accumulated into a VMEM-resident
+    output at the block's compressed-rank base. A final 65k-row remap
+    expands compressed ranks back to target rows. Exact up to f32
+    reassociation.
+    """
+    from mvkpconv_tpu.ops.pallas.segsum import (
+        pallas_supported,
+        sorted_window_segsum,
+    )
+
+    batch_shape = index.shape[:-2]
+    ns, c = feat_shape[-2], feat_shape[-1]
+    flat_idx, b = _flatten_index(index, batch_shape, ns)
+    rows = ct.reshape(-1, c).astype(jnp.float32)
+    n_rows = rows.shape[0]
+    tgts = b * ns
+    blk = _TRANSPOSE_BLK
+
+    iota = jnp.arange(n_rows, dtype=jnp.int32)
+    sorted_idx, perm = jax.lax.sort(
+        (flat_idx.astype(jnp.int32), iota), num_keys=1
+    )
+    srows = jnp.take(rows, perm, axis=0)
+    pad = (-n_rows) % blk
+    if pad:
+        # sentinel target `tgts`: one extra distinct slot, zero rows
+        srows = jnp.concatenate([srows, jnp.zeros((pad, c), jnp.float32)])
+        sorted_pad = jnp.concatenate(
+            [sorted_idx, jnp.full((pad,), tgts, jnp.int32)]
+        )
+    else:
+        sorted_pad = sorted_idx
+    nblk = srows.shape[0] // blk
+
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (sorted_pad[1:] != sorted_pad[:-1]).astype(jnp.int32)]
+    )
+    rnk = _blocked_cumsum_1d(is_new, blk) - 1
+    rnk2 = rnk.reshape(nblk, blk)
+    rnk_lo = rnk2[:, 0]
+    off = (rnk2 - rnk_lo[:, None]).astype(jnp.int32)
+
+    ndistinct = min(n_rows + 1, tgts + 1)
+    compressed = sorted_window_segsum(
+        srows, off.reshape(-1), rnk_lo, ndistinct,
+        blk=blk, w=blk + 8, interpret=not pallas_supported(),
+    )
+
+    starts = jnp.searchsorted(
+        sorted_idx, jnp.arange(tgts + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    nonempty = (starts[1:] != starts[:-1]).astype(jnp.int32)
+    rank_of_t = _blocked_cumsum_1d(nonempty, blk) - 1
+    out = jnp.take(compressed, jnp.maximum(rank_of_t, 0), axis=0)
+    out = out * nonempty.astype(jnp.float32)[:, None]
+    return out.reshape(feat_shape)
+
+
 def _group_points_bwd(res, ct):
     index, marker = res
     feat_shape = index.shape[:-2] + (marker.shape[0], ct.shape[-1])
     if _TRANSPOSE_MODE == "sorted":
         d_feat = _transpose_sorted(ct, index, feat_shape)
+    elif _TRANSPOSE_MODE == "window":
+        d_feat = _transpose_window(ct, index, feat_shape)
     else:
         d_feat = _transpose_scatter(ct, index, feat_shape)
     d_index = np.zeros(index.shape, dtype=jax.dtypes.float0)

@@ -186,10 +186,13 @@ class KPConfig:
     # VJP of the neighbor-feature gathers (ops/gather.py): 'scatter' (XLA's
     # native take-transpose scatter-add, 58M rows/s on v5e) | 'sorted'
     # (sort-by-target + permuted gather + blocked cumsum + boundary diff —
-    # every stage at gather/VPU speed; exact up to f32 reassociation and
-    # accumulates in f32). The scatter path is 117.7 ms of the 119 ms
-    # train-step backward at bench shapes (scratch/prof_scatter_share.py).
-    # Applied by make_train_step via set_gather_transpose.
+    # every stage at gather/VPU speed) | 'window' (sorted + compressed-rank
+    # windowed one-hot matmul on the MXU inside a Pallas kernel,
+    # ops/pallas/segsum.py). All exact up to f32 reassociation (both
+    # alternatives ACCUMULATE in f32). The scatter path is 117.7 ms of the
+    # 119 ms train-step backward at bench shapes
+    # (scratch/prof_scatter_share.py). Applied by make_train_step via
+    # set_gather_transpose.
     gather_transpose: str = "scatter"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)

@@ -44,7 +44,7 @@ def _numpy_scatter_oracle(ct, index, ns):
     return d.reshape(index.shape[:-2] + (ns, c))
 
 
-@pytest.mark.parametrize("mode", ["scatter", "sorted"])
+@pytest.mark.parametrize("mode", ["scatter", "sorted", "window"])
 @pytest.mark.parametrize(
     "b,ns,nq,k,c", [(2, 37, 29, 5, 8), (1, 64, 64, 1, 3), (3, 16, 40, 7, 10)]
 )
@@ -69,12 +69,13 @@ def test_sorted_matches_scatter_bf16_cotangent(rng):
     ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32).astype(jnp.bfloat16)
 
     outs = {}
-    for mode in ("scatter", "sorted"):
+    for mode in ("scatter", "sorted", "window"):
         with transpose_mode(mode):
             _, pull = jax.vjp(lambda f: group_points(f, index), feats)
             outs[mode] = np.asarray(pull(ct)[0], np.float32)
-    # sorted accumulates in f32 (>= scatter's bf16 adds); compare loosely
-    np.testing.assert_allclose(outs["sorted"], outs["scatter"], rtol=0.05, atol=0.05)
+    # sorted/window accumulate in f32 (>= scatter's bf16 adds); loose compare
+    for mode in ("sorted", "window"):
+        np.testing.assert_allclose(outs[mode], outs["scatter"], rtol=0.05, atol=0.05)
 
 
 def test_vjp_with_shadow_rows(rng):
@@ -88,10 +89,13 @@ def test_vjp_with_shadow_rows(rng):
         return jnp.sum(group_points(pad_shadow_row(x), index) ** 2)
 
     grads = {}
-    for mode in ("scatter", "sorted"):
+    for mode in ("scatter", "sorted", "window"):
         with transpose_mode(mode):
             grads[mode] = np.asarray(jax.jit(jax.grad(f))(feats))
-    np.testing.assert_allclose(grads["sorted"], grads["scatter"], rtol=1e-4, atol=1e-5)
+    for mode in ("sorted", "window"):
+        np.testing.assert_allclose(
+            grads[mode], grads["scatter"], rtol=1e-4, atol=1e-5
+        )
 
 
 def test_train_step_grad_parity_full_model(rng):
@@ -141,18 +145,19 @@ def test_train_step_grad_parity_full_model(rng):
         )
 
     results = {}
-    for mode in ("scatter", "sorted"):
+    for mode in ("scatter", "sorted", "window"):
         with transpose_mode(mode):
             loss, grads = jax.jit(jax.value_and_grad(loss_of))(
                 variables["params"]
             )
             results[mode] = (float(loss), jax.tree.map(np.asarray, grads))
 
-    assert np.isclose(results["scatter"][0], results["sorted"][0], rtol=1e-6)
     flat_s = jax.tree.leaves(results["scatter"][1])
-    flat_o = jax.tree.leaves(results["sorted"][1])
-    for a, b in zip(flat_s, flat_o):
-        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+    for mode in ("sorted", "window"):
+        assert np.isclose(results["scatter"][0], results[mode][0], rtol=1e-6)
+        flat_o = jax.tree.leaves(results[mode][1])
+        for a, b in zip(flat_s, flat_o):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
 
 
 def test_config_wires_mode_into_step():
