@@ -169,3 +169,38 @@ def test_config_wires_mode_into_step():
     with transpose_mode("scatter"):
         make_train_step(lambda *a, **k: None, optax.sgd(0.1), cfg)
         assert get_gather_transpose() == "sorted"
+
+
+def test_deformable_offset_grads_mode_parity(rng):
+    """The deformable path differentiates through the fused position⊕feature
+    gather (payload concat + slice) — offset gradients must agree across
+    transpose modes."""
+    from mvkpconv_tpu.models.blocks import kpconv_apply
+    from mvkpconv_tpu.models.kernel_points import kernel_point_positions
+
+    b, nq, ns, k, m, c = 2, 12, 16, 5, 15, 4
+    kpts = jnp.asarray(kernel_point_positions(1.0, m))
+    q = jnp.asarray(rng.randn(b, nq, 3) * 0.3, jnp.float32)
+    s = jnp.asarray(rng.randn(b, ns, 3) * 0.3, jnp.float32)
+    inds = jnp.asarray(rng.randint(0, ns + 1, (b, nq, k)), jnp.int32)
+    x = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    w = jnp.asarray(rng.randn(m, c, c) * 0.1, jnp.float32)
+
+    def loss(offsets, feats):
+        out, (min_d2, kp_abs) = kpconv_apply(
+            q, s, inds, feats, kpts, w, 1.2,
+            kp_offsets=offsets, return_deform_aux=True,
+        )
+        return jnp.sum(out**2) + jnp.sum(min_d2) + jnp.sum(kp_abs)
+
+    grads = {}
+    for mode in ("scatter", "sorted", "window"):
+        with transpose_mode(mode):
+            grads[mode] = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+                jnp.zeros((b, nq, m, 3), jnp.float32), x
+            )
+    for mode in ("sorted", "window"):
+        for a, bb in zip(grads["scatter"], grads[mode]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5
+            )

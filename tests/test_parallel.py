@@ -25,7 +25,13 @@ def test_mesh_shapes():
 
 
 @pytest.mark.slow
-def test_sharded_train_step_matches_single_device():
+@pytest.mark.parametrize("gather_transpose", ["scatter", "sorted"])
+def test_sharded_train_step_matches_single_device(gather_transpose):
+    # 'sorted' pins that the sort/searchsorted gather transpose is
+    # GSPMD-partitionable (the flat b·Ns row-fold crosses the sharded
+    # batch dim). 'window' (Pallas) is excluded: pallas_call does not
+    # auto-partition — it needs shard_map before it can be a sharded
+    # default (documented in KPConfig.gather_transpose).
     cfg = KPConfig(
         num_points=(256, 64),
         conv_neighbors=(10, 10),
@@ -37,6 +43,7 @@ def test_sharded_train_step_matches_single_device():
         first_features_dim=16,
         num_classes=20,
         batch_num=8,
+        gather_transpose=gather_transpose,
     )
     scenes = [synthetic.make_scene(seed=0, num_points=8000)]
     ds = SphereDataset(scenes, cfg, training=False, seed=0)
