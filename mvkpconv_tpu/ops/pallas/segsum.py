@@ -15,10 +15,18 @@ This kernel exploits two structural facts after sorting rows by target:
      never exists in HBM (XLA would materialize ~4 GB of it at L0 bench
      shape).
 
-Each grid step accumulates its (W, C) slab into a VMEM-resident output at
-dynamic offset rnk_lo[block] (read-modify-write entirely in VMEM). The
-caller (ops/gather.py:_transpose_window) does the XLA-side sort, rank
-compression and rank→target remap.
+Each grid step accumulates its (W, c_blk) slab into a VMEM-resident
+output at dynamic offset rnk_lo[block] (read-modify-write entirely in
+VMEM). VMEM tiles are (8, 128), so a narrow c_blk would waste 128-c_blk
+lanes of the resident block — at L0 bench shape (66k distinct targets,
+C=32) that is 33.8 MB against ~16 MB of VMEM. The output is therefore
+LANE-PACKED: pk = 128 // c_blk consecutive virtual rows share one
+128-lane packed row, and each slab is shifted by (base % pk) rows before
+a (W/pk, 128) reshape so the dynamic-slice accumulate lands on packed
+rows. The caller unpacks with one XLA reshape.
+
+The caller (ops/gather.py:_transpose_window) does the XLA-side sort,
+rank compression and rank→target remap.
 
 No reference counterpart: the reference's backward is the CUDA scatter in
 mvpnet/ops/cuda/group_points_kernel.cu / torch autograd.
@@ -40,7 +48,7 @@ def pallas_supported() -> bool:
     return plat in ("tpu", "axon")
 
 
-def _kernel(rnk_lo_ref, off_ref, rows_ref, out_ref, *, w, blk):
+def _kernel(rnk_lo_ref, off_ref, rows_ref, out_ref, *, w, blk, pk, c_blk):
     from jax.experimental import pallas as pl
 
     bi = pl.program_id(1)
@@ -60,7 +68,20 @@ def _kernel(rnk_lo_ref, off_ref, rows_ref, out_ref, *, w, blk):
         preferred_element_type=jnp.float32,
     )  # (W, c_blk)
     base = rnk_lo_ref[bi]
-    out_ref[pl.ds(base, w), :] = out_ref[pl.ds(base, w), :] + slab
+    if pk == 1:
+        out_ref[pl.ds(base, w), :] = out_ref[pl.ds(base, w), :] + slab
+        return
+    # lane-packed accumulate: virtual row base+i lands on packed row
+    # (base+i)//pk at lane group (base+i)%pk. Shift the slab down by
+    # r0 = base%pk rows inside a (w+pk, c_blk) zero frame, then fold pk
+    # rows into the 128 lanes.
+    r0 = base % pk
+    wp = (w + pk) // pk  # packed rows per slab (w % pk == 0 by contract)
+    frame = jnp.zeros((w + pk, c_blk), jnp.float32)
+    frame = jax.lax.dynamic_update_slice(frame, slab, (r0, 0))
+    packed = frame.reshape(wp, pk * c_blk)
+    p0 = base // pk
+    out_ref[pl.ds(p0, wp), :] = out_ref[pl.ds(p0, wp), :] + packed
 
 
 def sorted_window_segsum(
@@ -70,7 +91,7 @@ def sorted_window_segsum(
     ndistinct: int,
     blk: int = 512,
     w: int = 520,
-    c_budget_bytes: int = 8 * 1024 * 1024,
+    vmem_budget_bytes: int = 10 * 1024 * 1024,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Segment-sum pre-sorted rows into ``ndistinct`` compressed slots.
@@ -82,9 +103,10 @@ def sorted_window_segsum(
       rnk_lo: (R // blk,) int32 — base compressed rank per block,
         nondecreasing.
       ndistinct: static upper bound on the number of distinct targets.
-      blk / w: rows per block / output window (w ≥ blk + 1).
-      c_budget_bytes: VMEM budget for the resident output block — channels
-        are processed in chunks of ``c_blk`` columns each.
+      blk / w: rows per block / output window (w ≥ blk + 1, w % 8 == 0).
+      vmem_budget_bytes: cap on the resident packed output block —
+        channels are processed in chunks of ``c_blk`` columns, lane-packed
+        pk = 128 // c_blk virtual rows per 128-lane packed row.
 
     Returns:
       (ndistinct, C) f32: out[j] = Σ rows[i] over rows with compressed
@@ -96,12 +118,34 @@ def sorted_window_segsum(
     r, c = rows.shape
     if r % blk:
         raise ValueError(f"rows count {r} not a multiple of blk={blk}")
-    if w < blk + 1:
-        raise ValueError(f"w={w} must be >= blk+1={blk + 1}")
+    if w < blk + 1 or w % 8:
+        raise ValueError(f"w={w} must be >= blk+1 and a multiple of 8")
     nblk = r // blk
-    ndist_pad = ndistinct + w  # ds(base, w) must stay in bounds
 
-    c_blk = max(1, min(c, c_budget_bytes // (ndist_pad * 4)))
+    # pick (c_blk, pk): packed block rows = ceil(ndist_pad/pk), pk*c_blk
+    # lanes; pk is additionally capped by divisibility of w
+    max_pk = 1
+    while w % (max_pk * 2) == 0:
+        max_pk *= 2
+    chosen = None
+    for c_blk in (128, 64, 32, 16, 8):
+        if c_blk > c and c_blk != 8:
+            continue
+        pk = min(128 // c_blk, max_pk)
+        ndist_pad = ndistinct + w + pk
+        rows_p = -(-ndist_pad // pk)
+        # VMEM tiles are (8, 128): blocks narrower than 128 lanes still
+        # occupy 128 — budget with the padded width
+        if rows_p * max(pk * c_blk, 128) * 4 <= vmem_budget_bytes:
+            chosen = (c_blk, pk, rows_p)
+            break
+    if chosen is None:
+        raise ValueError(
+            f"no lane packing fits ndistinct={ndistinct} in "
+            f"{vmem_budget_bytes} bytes of VMEM"
+        )
+    c_blk, pk, rows_p = chosen
+    ndist_pad = rows_p * pk
     c_pad = (-c) % c_blk
     if c_pad:
         rows = jnp.pad(rows, ((0, 0), (0, c_pad)))
@@ -116,16 +160,27 @@ def sorted_window_segsum(
             pl.BlockSpec((blk, c_blk), lambda ci, bi, s: (bi, ci)),
         ],
         out_specs=pl.BlockSpec(
-            (ndist_pad, c_blk), lambda ci, bi, s: (0, ci)
+            (rows_p, pk * c_blk), lambda ci, bi, s: (0, ci)
         ),
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, w=w, blk=blk),
+        functools.partial(_kernel, w=w, blk=blk, pk=pk, c_blk=c_blk),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ndist_pad, c + c_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (rows_p, c_chunks * pk * c_blk), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(rnk_lo, off.reshape(nblk, blk), rows)
-    return out[:ndistinct, :c]
+    # unpack: each (rows_p, pk*c_blk) chunk is pk virtual rows × c_blk
+    chunks = [
+        out[:, j * pk * c_blk:(j + 1) * pk * c_blk].reshape(
+            ndist_pad, c_blk
+        )[:ndistinct]
+        for j in range(c_chunks)
+    ]
+    return jnp.concatenate(chunks, axis=1)[:, :c] if c_chunks > 1 else (
+        chunks[0][:, :c]
+    )
