@@ -15,8 +15,11 @@ TS() { date -u +%Y-%m-%dT%H:%M:%S; }
 run() {
   name=$1; shift
   echo "=== [$(TS)] $name ===" | tee -a "$OUT"
-  timeout 1200 "$@" 2>&1 | grep -v "WARNING\|WARN\b" | tail -40 | tee -a "$OUT"
-  echo "--- rc=$? ---" | tee -a "$OUT"
+  # full output to its own file; only a head of it into the rollup
+  timeout 1200 "$@" > "outputs/r4/s8_$name.log" 2>&1
+  rc=$?
+  grep -v "WARNING\|WARN\b" "outputs/r4/s8_$name.log" | head -60 >> "$OUT"
+  echo "--- rc=$rc ---" | tee -a "$OUT"
 }
 
 run prof_scatter4 python scratch/prof_scatter4.py
