@@ -32,15 +32,25 @@ _TRANSPOSE_MODE = "scatter"
 _TRANSPOSE_BLK = 512  # rows per cumsum block in the sorted transpose
 
 
+#   'banded'  — NO-SORT windowed one-hot MXU segment sum exploiting the
+#               pipeline's voxel-sorted point order (cotangent rows stream
+#               sequentially; per-block target bands measured ~3.4k at L0,
+#               scratch/prof_band.py). See _transpose_banded.
+_BANDED_SUB = 512   # rows per one-hot sub-window
+_BANDED_NWIN = 10   # statically unrolled sub-windows: covers bands up to
+                    # (NWIN-1)*SUB+1 = 4609 targets; wider bands take the
+                    # exact residual-scatter path
+
+
 def set_gather_transpose(mode: str) -> None:
     """Select the group_points VJP implementation
-    ('scatter' | 'sorted' | 'window').
+    ('scatter' | 'sorted' | 'window' | 'banded').
 
     Read at TRACE time of the backward: set it before the first gradient
     trace (make_train_step does this from KPConfig.gather_transpose).
     """
     global _TRANSPOSE_MODE
-    if mode not in ("scatter", "sorted", "window"):
+    if mode not in ("scatter", "sorted", "window", "banded"):
         raise ValueError(f"unknown gather transpose mode {mode!r}")
     _TRANSPOSE_MODE = mode
 
@@ -240,6 +250,176 @@ def _transpose_window(ct, index, feat_shape):
     return out.reshape(feat_shape)
 
 
+def _transpose_banded(ct, index, feat_shape):
+    """No-sort banded one-hot-matmul segment sum (the production fast path).
+
+    Every sort-based transpose is doomed by the permuted take of the
+    cotangent rows — a random HBM access per row from a multi-hundred-MB
+    source, measured 74.85 ms at the L0 bench shape vs 6.6 ms for a
+    sequential read (scratch/prof_scatter4.py). But the data pipeline
+    emits voxel-x-major-sorted points, so in NATURAL row order a 512-row
+    cotangent block's targets live in a bounded band (p99 3.4k of 16.4k
+    targets at L0, scratch/prof_band.py). This transpose therefore:
+
+      * streams the rows sequentially (no sort, no permute), padded per
+        batch element so blocks never straddle batch boundaries;
+      * computes each block's segment sums on the MXU as one-hot matmuls
+        over the occupied sub-windows of its band, accumulated into a
+        VMEM-resident lane-packed output (ops/pallas/segsum.py) — MXU
+        cost tracks the actual band via per-block occupied-range
+        prefetch;
+      * drops rows targeting the LAST source row (the shadow row of
+        ``pad_shadow_row`` callers) in-kernel and recovers their exact
+        sum with one masked reduction — shadow targets sit at the END of
+        each batch segment, far outside the band;
+      * routes the rare rows beyond the static window budget
+        (band > (NWIN-1)*SUB+1, e.g. across z-order discontinuities)
+        through an exact compact-then-scatter residual, with a full
+        masked scatter fallback under lax.cond if the static residual
+        capacity ever overflows — exactness never depends on the band
+        assumption.
+
+    bf16 cotangents ride a single MXU pass with f32 accumulation —
+    strictly better numerics than the scatter's bf16 adds; f32 cotangents
+    use the 3-pass HIGHEST decomposition (exact products either way: the
+    one-hot weights are 0/1).
+    """
+    from mvkpconv_tpu.ops.pallas.segsum import (
+        _pick_packing,
+        banded_window_segsum,
+        pallas_supported,
+    )
+
+    batch_shape = index.shape[:-2]
+    ns, c = feat_shape[-2], feat_shape[-1]
+    nq, k = index.shape[-2], index.shape[-1]
+    b = 1
+    for d in batch_shape:
+        b *= d
+    blk = _TRANSPOSE_BLK
+    sub = _BANDED_SUB
+    rpb = nq * k
+    rpb_pad = -(-rpb // blk) * blk
+    nsub_full = -(-ns // sub)
+    nwin = min(nsub_full, _BANDED_NWIN)
+
+    # Per-site policy (measured on v5e, scratch/prof_banded_parts.py): the
+    # kernel wins when the channels fit ONE chunk (c=32 at the 1.97M-row
+    # L0 site: 19.3 ms kernel vs 42.3 ms scatter); multi-chunk sites repeat
+    # the VPU one-hot construction per chunk and LOSE (c=66: 56.1 vs
+    # 35.9 ms). Route multi-chunk sites to the scatter.
+    ns8 = -(-ns // 8) * 8
+    try:
+        c_blk, _pk, _rows_p = _pick_packing(c, sub, b * ns8, nwin,
+                                            10 * 1024 * 1024)
+    except ValueError:
+        return _transpose_scatter(ct, index, feat_shape)
+    if -(-c // c_blk) > 1:
+        return _transpose_scatter(ct, index, feat_shape)
+
+    rows = ct.reshape(b, rpb, c)
+    if rows.dtype != jnp.bfloat16:
+        rows = rows.astype(jnp.float32)
+    # barrier: the transpose reads the cotangent from THREE consumers
+    # (kernel, shadow reduce, residual flags) — without it XLA fuses the
+    # ct producer (an einsum backward in-model) into each consumer and
+    # recomputes it per consumer (same pathology _transpose_sorted hit)
+    rows = jax.lax.optimization_barrier(rows)
+    idxb = index.reshape(b, rpb).astype(jnp.int32)
+    pad = rpb_pad - rpb
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad), (0, 0)))
+        # pad rows carry zero cotangents; aim them at the shadow slot
+        idxb = jnp.pad(idxb, ((0, 0), (0, pad)), constant_values=ns - 1)
+    shadow = idxb == ns - 1
+    off = jnp.where(shadow, -1, idxb)  # (b, rpb_pad) i32, -1 = dropped
+
+    nblk_b = rpb_pad // blk
+    nblk = b * nblk_b
+    n_rows = nblk * blk
+    offb = off.reshape(nblk, blk)
+    big = jnp.int32(1 << 20)
+    a_lo = jnp.min(jnp.where(offb < 0, big, offb), axis=1) // sub
+    a_hi = jnp.max(offb, axis=1) // sub  # all-dropped block: -1 < a_lo
+    # kernel bases must be 8-aligned (lane-packing contract): batch
+    # elements stride by ns rounded up to 8 in the kernel's virtual
+    # output; the pad rows are sliced off after the reshape below
+    base = jnp.repeat(
+        jnp.arange(b, dtype=jnp.int32) * ns8, nblk_b
+    )
+
+    rows_flat = rows.reshape(n_rows, c)
+    out = banded_window_segsum(
+        rows_flat, off.reshape(-1), base,
+        a_lo.astype(jnp.int32), a_hi.astype(jnp.int32),
+        b * ns8, nwin=nwin, blk=blk, sub=sub,
+        interpret=not pallas_supported(),
+    )
+
+    # exact shadow-row recovery: one masked reduction per batch element
+    # (the cast fuses into the einsum; no f32 copy of the rows exists)
+    sh = jnp.einsum(
+        "brc,br->bc",
+        rows.astype(jnp.float32),
+        shadow.astype(jnp.float32),
+    )
+    out = out.reshape(b, ns8, c)[:, :ns].at[:, ns - 1, :].add(sh)
+
+    if nsub_full > nwin:
+        # residual: rows beyond the per-block window budget (measured 0 at
+        # bench shapes, a real-data safety net). The whole machinery —
+        # searchsorted compaction, takes, scatter — sits inside a cond on
+        # total==0 so the typical step pays only the blocked count cumsum.
+        cov = (a_lo + nwin) * sub  # (nblk,) first uncovered target
+        flags = (offb >= cov[:, None]).reshape(-1)  # off=-1 never >= cov
+        pos = _blocked_cumsum_1d(flags.astype(jnp.int32), blk)
+        total = pos[-1]
+        max_out = max(1024, n_rows // 512)
+        dump = b * ns
+
+        def residual(_):
+            # residual targets live in the UNPADDED (b*ns) space, not the
+            # kernel's 8-aligned virtual rows
+            base_row = jnp.repeat(
+                jnp.arange(b, dtype=jnp.int32) * ns, rpb_pad
+            )
+            tgt_all = base_row + off.reshape(-1)
+
+            def compact(_):
+                slots = jnp.arange(max_out, dtype=jnp.int32) + 1
+                oi = jnp.searchsorted(
+                    pos, slots, side="left"
+                ).astype(jnp.int32)
+                valid = oi < n_rows
+                oi = jnp.minimum(oi, n_rows - 1)
+                res_rows = (
+                    jnp.take(rows_flat, oi, axis=0).astype(jnp.float32)
+                    * valid[:, None]
+                )
+                res_tgt = jnp.where(valid, jnp.take(tgt_all, oi), dump)
+                return (
+                    jnp.zeros((b * ns + 1, c), jnp.float32)
+                    .at[res_tgt].add(res_rows)
+                )
+
+            def fallback(_):
+                masked = jnp.where(
+                    flags[:, None], rows_flat.astype(jnp.float32), 0.0
+                )
+                tgt = jnp.where(flags, tgt_all, dump)
+                return (
+                    jnp.zeros((b * ns + 1, c), jnp.float32)
+                    .at[tgt].add(masked)
+                )
+
+            delta = jax.lax.cond(total <= max_out, compact, fallback, 0)
+            return out + delta[:-1].reshape(b, ns, c)
+
+        out = jax.lax.cond(total == 0, lambda _: out, residual, 0)
+
+    return out.reshape(feat_shape)
+
+
 def _group_points_bwd(res, ct):
     index, marker = res
     feat_shape = index.shape[:-2] + (marker.shape[0], ct.shape[-1])
@@ -247,6 +427,8 @@ def _group_points_bwd(res, ct):
         d_feat = _transpose_sorted(ct, index, feat_shape)
     elif _TRANSPOSE_MODE == "window":
         d_feat = _transpose_window(ct, index, feat_shape)
+    elif _TRANSPOSE_MODE == "banded":
+        d_feat = _transpose_banded(ct, index, feat_shape)
     else:
         d_feat = _transpose_scatter(ct, index, feat_shape)
     d_index = np.zeros(index.shape, dtype=jax.dtypes.float0)

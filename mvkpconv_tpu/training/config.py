@@ -186,9 +186,14 @@ class KPConfig:
     # VJP of the neighbor-feature gathers (ops/gather.py): 'scatter' (XLA's
     # native take-transpose scatter-add, 58M rows/s on v5e) | 'sorted'
     # (sort-by-target + permuted gather + blocked cumsum + boundary diff —
-    # every stage at gather/VPU speed) | 'window' (sorted + compressed-rank
-    # windowed one-hot matmul on the MXU inside a Pallas kernel,
-    # ops/pallas/segsum.py). All exact up to f32 reassociation (both
+    # loses to its own permuted take: a random HBM row read each,
+    # 74.85 ms at L0) | 'window' (sorted + compressed-rank windowed
+    # one-hot matmul on the MXU inside a Pallas kernel,
+    # ops/pallas/segsum.py; same permute front end) | 'banded' (NO-SORT
+    # windowed one-hot MXU segment sum streaming the cotangent rows in
+    # natural order, exploiting the pipeline's voxel-sorted point bands —
+    # shadow rows via one exact masked reduce, out-of-band rows via an
+    # exact residual scatter). All exact up to f32 reassociation (the
     # alternatives ACCUMULATE in f32). The scatter path is 117.7 ms of the
     # 119 ms train-step backward at bench shapes
     # (scratch/prof_scatter_share.py). Applied by make_train_step via

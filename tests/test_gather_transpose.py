@@ -44,7 +44,7 @@ def _numpy_scatter_oracle(ct, index, ns):
     return d.reshape(index.shape[:-2] + (ns, c))
 
 
-@pytest.mark.parametrize("mode", ["scatter", "sorted", "window"])
+@pytest.mark.parametrize("mode", ["scatter", "sorted", "window", "banded"])
 @pytest.mark.parametrize(
     "b,ns,nq,k,c", [(2, 37, 29, 5, 8), (1, 64, 64, 1, 3), (3, 16, 40, 7, 10)]
 )
@@ -69,13 +69,62 @@ def test_sorted_matches_scatter_bf16_cotangent(rng):
     ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32).astype(jnp.bfloat16)
 
     outs = {}
-    for mode in ("scatter", "sorted", "window"):
+    for mode in ("scatter", "sorted", "window", "banded"):
         with transpose_mode(mode):
             _, pull = jax.vjp(lambda f: group_points(f, index), feats)
             outs[mode] = np.asarray(pull(ct)[0], np.float32)
     # sorted/window accumulate in f32 (>= scatter's bf16 adds); loose compare
-    for mode in ("sorted", "window"):
+    for mode in ("sorted", "window", "banded"):
         np.testing.assert_allclose(outs[mode], outs["scatter"], rtol=0.05, atol=0.05)
+
+
+def test_banded_residual_path(rng):
+    """ns large enough that nsub_full > NWIN and indices spread over the
+    whole source: most rows exceed the per-block window budget and must
+    ride the compact residual scatter. R small so the static residual
+    capacity (max(1024, R/128)) holds them all — exercises compact()."""
+    b, ns, nq, k, c = 1, 6000, 120, 4, 3  # R=480 rows, all-over targets
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+    with transpose_mode("banded"):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        (d_feat,) = jax.jit(pull)(ct)
+    oracle = _numpy_scatter_oracle(ct, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
+
+
+def test_banded_residual_overflow_fallback(rng):
+    """Enough far-spread rows to overflow the compact residual capacity:
+    the lax.cond fallback (full masked scatter) must keep it exact."""
+    b, ns, nq, k, c = 1, 6000, 1024, 3, 3  # R=3072, capacity=1024
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+    with transpose_mode("banded"):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        (d_feat,) = jax.jit(pull)(ct)
+    oracle = _numpy_scatter_oracle(ct, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
+
+
+def test_banded_voxel_sorted_band(rng):
+    """The intended production regime: voxel-sorted points give banded
+    targets, everything rides the kernel (no residual)."""
+    b, ns, nq, k, c = 2, 6000, 1500, 4, 5
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    # banded indices: target near 4*q with small jitter, plus shadows
+    q = np.arange(nq)[None, :, None] * (ns // nq)
+    jit_ = rng.randint(-100, 100, (b, nq, k))
+    idx = np.clip(q + jit_, 0, ns - 2)
+    idx[rng.rand(b, nq, k) < 0.1] = ns - 1  # shadow-ish collisions
+    index = jnp.asarray(idx, jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+    with transpose_mode("banded"):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        (d_feat,) = jax.jit(pull)(ct)
+    oracle = _numpy_scatter_oracle(ct, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
 
 
 def test_vjp_with_shadow_rows(rng):
@@ -89,10 +138,10 @@ def test_vjp_with_shadow_rows(rng):
         return jnp.sum(group_points(pad_shadow_row(x), index) ** 2)
 
     grads = {}
-    for mode in ("scatter", "sorted", "window"):
+    for mode in ("scatter", "sorted", "window", "banded"):
         with transpose_mode(mode):
             grads[mode] = np.asarray(jax.jit(jax.grad(f))(feats))
-    for mode in ("sorted", "window"):
+    for mode in ("sorted", "window", "banded"):
         np.testing.assert_allclose(
             grads[mode], grads["scatter"], rtol=1e-4, atol=1e-5
         )
@@ -145,7 +194,7 @@ def test_train_step_grad_parity_full_model(rng):
         )
 
     results = {}
-    for mode in ("scatter", "sorted", "window"):
+    for mode in ("scatter", "sorted", "window", "banded"):
         with transpose_mode(mode):
             loss, grads = jax.jit(jax.value_and_grad(loss_of))(
                 variables["params"]
@@ -153,7 +202,7 @@ def test_train_step_grad_parity_full_model(rng):
             results[mode] = (float(loss), jax.tree.map(np.asarray, grads))
 
     flat_s = jax.tree.leaves(results["scatter"][1])
-    for mode in ("sorted", "window"):
+    for mode in ("sorted", "window", "banded"):
         assert np.isclose(results["scatter"][0], results[mode][0], rtol=1e-6)
         flat_o = jax.tree.leaves(results[mode][1])
         for a, b in zip(flat_s, flat_o):
@@ -194,12 +243,12 @@ def test_deformable_offset_grads_mode_parity(rng):
         return jnp.sum(out**2) + jnp.sum(min_d2) + jnp.sum(kp_abs)
 
     grads = {}
-    for mode in ("scatter", "sorted", "window"):
+    for mode in ("scatter", "sorted", "window", "banded"):
         with transpose_mode(mode):
             grads[mode] = jax.jit(jax.grad(loss, argnums=(0, 1)))(
                 jnp.zeros((b, nq, m, 3), jnp.float32), x
             )
-    for mode in ("sorted", "window"):
+    for mode in ("sorted", "window", "banded"):
         for a, bb in zip(grads["scatter"], grads[mode]):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5
