@@ -50,7 +50,7 @@ def set_gather_transpose(mode: str) -> None:
     trace (make_train_step does this from KPConfig.gather_transpose).
     """
     global _TRANSPOSE_MODE
-    if mode not in ("scatter", "sorted", "window", "banded"):
+    if mode not in ("scatter", "sorted", "window", "banded", "banded_bf16"):
         raise ValueError(f"unknown gather transpose mode {mode!r}")
     _TRANSPOSE_MODE = mode
 
@@ -427,7 +427,16 @@ def _group_points_bwd(res, ct):
         d_feat = _transpose_sorted(ct, index, feat_shape)
     elif _TRANSPOSE_MODE == "window":
         d_feat = _transpose_window(ct, index, feat_shape)
-    elif _TRANSPOSE_MODE == "banded":
+    elif _TRANSPOSE_MODE in ("banded", "banded_bf16"):
+        if _TRANSPOSE_MODE == "banded_bf16" and ct.dtype != jnp.bfloat16:
+            # quality-for-speed knob: quantize the cotangent rows to bf16
+            # so the kernel's one-hot dot runs ONE MXU pass instead of the
+            # 3-pass f32 decomposition (59 vs 19 ms at the L0 c=32 site).
+            # In-model the feature CARRIERS are f32 (blocks.py casts the
+            # payload to the positions' dtype), so this injects 2^-9-
+            # relative rounding into per-row gradient terms the model
+            # computed at bf16 precision anyway; accumulation stays f32.
+            ct = ct.astype(jnp.bfloat16)
         d_feat = _transpose_banded(ct, index, feat_shape)
     else:
         d_feat = _transpose_scatter(ct, index, feat_shape)

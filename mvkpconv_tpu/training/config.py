@@ -193,9 +193,11 @@ class KPConfig:
     # windowed one-hot MXU segment sum streaming the cotangent rows in
     # natural order, exploiting the pipeline's voxel-sorted point bands —
     # shadow rows via one exact masked reduce, out-of-band rows via an
-    # exact residual scatter). All exact up to f32 reassociation (the
-    # alternatives ACCUMULATE in f32). The scatter path is 117.7 ms of the
-    # 119 ms train-step backward at bench shapes
+    # exact residual scatter) | 'banded_bf16' (banded + cotangent rows
+    # quantized to bf16 for a single MXU pass — a measured
+    # quality-for-speed knob, NOT exact). All other modes exact up to f32
+    # reassociation (they ACCUMULATE in f32). The scatter path is 117.7 ms
+    # of the 119 ms train-step backward at bench shapes
     # (scratch/prof_scatter_share.py). Applied by make_train_step via
     # set_gather_transpose.
     gather_transpose: str = "scatter"

@@ -78,6 +78,23 @@ def test_sorted_matches_scatter_bf16_cotangent(rng):
         np.testing.assert_allclose(outs[mode], outs["scatter"], rtol=0.05, atol=0.05)
 
 
+def test_banded_bf16_mode_close_to_scatter(rng):
+    """'banded_bf16' quantizes f32 cotangent rows to bf16 (one MXU pass);
+    result must stay within bf16 rounding of the exact scatter."""
+    b, ns, nq, k, c = 2, 300, 128, 6, 16
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+    outs = {}
+    for mode in ("scatter", "banded_bf16"):
+        with transpose_mode(mode):
+            _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+            outs[mode] = np.asarray(pull(ct)[0])
+    np.testing.assert_allclose(
+        outs["banded_bf16"], outs["scatter"], rtol=0.05, atol=0.05
+    )
+
+
 def test_banded_residual_path(rng):
     """ns large enough that nsub_full > NWIN and indices spread over the
     whole source: most rows exceed the per-block window budget and must
