@@ -80,6 +80,11 @@ def _kernel(base_ref, alo_ref, ahi_ref, off_ref, rows_ref, out_ref,
     a_lo = alo_ref[bi]
     a_hi = ahi_ref[bi]
     sp = sub // pk
+    # constant per-lane-group iotas, hoisted out of the window loop (the
+    # one-hot compare is the kernel's VPU bound — don't pay the *pk+g
+    # arithmetic per window)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (sp, blk), 0)
+    iotas = [iota * pk + g for g in range(pk)]
 
     def window(a):
         offa = off - a * sub  # (1, BLK), broadcasts against the iota
@@ -92,9 +97,8 @@ def _kernel(base_ref, alo_ref, ahi_ref, off_ref, rows_ref, out_ref,
         # total MXU work as one (sub, blk) dot. CONTRACT: base % pk == 0
         # (wrappers align bases to 8 ≥ pk).
         groups = []
-        iota = jax.lax.broadcasted_iota(jnp.int32, (sp, blk), 0)
         for g in range(pk):
-            onehot = (iota * pk + g == offa).astype(rows.dtype)
+            onehot = (iotas[g] == offa).astype(rows.dtype)
             groups.append(
                 jax.lax.dot_general(
                     onehot,

@@ -198,9 +198,14 @@ class KPConfig:
     # quality-for-speed knob, NOT exact). All other modes exact up to f32
     # reassociation (they ACCUMULATE in f32). The scatter path is 117.7 ms
     # of the 119 ms train-step backward at bench shapes
-    # (scratch/prof_scatter_share.py). Applied by make_train_step via
-    # set_gather_transpose.
-    gather_transpose: str = "scatter"
+    # (scratch/prof_scatter_share.py); 'banded_bf16' measured 161.5 vs
+    # 185.7 ms/step end-to-end (405.9k vs 352.9k pts/s) with an unchanged
+    # convergence drive (loss 3.0→0.14, acc 0.946), so it is the
+    # single-chip production default; make_train_step falls back to
+    # 'scatter' on multi-device meshes (the Pallas custom call has no
+    # GSPMD partitioning rule). Set 'scatter' or 'banded' for exact f32
+    # accumulation. Applied by make_train_step via set_gather_transpose.
+    gather_transpose: str = "banded_bf16"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)
 

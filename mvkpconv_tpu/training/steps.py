@@ -90,7 +90,28 @@ def make_train_step(
 
     # module-level, read at backward TRACE time (i.e. inside this step's
     # first jit execution) — the eval/inference paths never reach it
-    set_gather_transpose(getattr(cfg, "gather_transpose", "scatter"))
+    mode = getattr(cfg, "gather_transpose", "scatter")
+    mesh_devices = 1
+    for d in getattr(cfg, "mesh_shape", (1,)):
+        mesh_devices *= d
+    if mode.startswith("banded"):
+        # the banded Pallas kernel is a custom call with no GSPMD
+        # partitioning rule: under a real multi-chip mesh the partitioner
+        # would force operand replication (an all-gather of the cotangent
+        # rows). Fall back to the scatter transpose when the config
+        # declares a multi-device mesh OR the process sees multiple
+        # accelerator devices. CPU device meshes keep the banded path:
+        # there the kernel runs in interpret mode (pure jax ops), which
+        # GSPMD partitions fine — that is also what keeps the sharded
+        # CPU tests exercising it.
+        try:
+            plat = jax.devices()[0].platform
+            n_dev = len(jax.devices())
+        except RuntimeError:
+            plat, n_dev = "cpu", 1
+        if mesh_devices > 1 or (n_dev > 1 and plat in ("tpu", "axon")):
+            mode = "scatter"
+    set_gather_transpose(mode)
 
     has_deform = any("deform" in b for b in getattr(cfg, "architecture", ()))
     mutable = ["batch_stats"] + (["intermediates"] if has_deform else [])

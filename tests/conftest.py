@@ -27,3 +27,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_gather_transpose():
+    """make_train_step sets the module-global gather-transpose mode at
+    trace time (by design — it must be visible inside the backward
+    trace); without isolation a training test leaves the config default
+    ('banded_bf16', quantizing) active for later exact-gradient tests."""
+    from mvkpconv_tpu.ops import gather
+
+    prev = gather.get_gather_transpose()
+    gather.set_gather_transpose("scatter")
+    yield
+    gather.set_gather_transpose(prev)
