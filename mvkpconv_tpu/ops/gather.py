@@ -307,15 +307,26 @@ def _transpose_banded(ct, index, feat_shape):
     # kernel wins when the channels fit ONE chunk (c=32 at the 1.97M-row
     # L0 site: 19.3 ms kernel vs 42.3 ms scatter); multi-chunk sites repeat
     # the VPU one-hot construction per chunk and LOSE (c=66: 56.1 vs
-    # 35.9 ms). Route multi-chunk sites to the scatter.
+    # 35.9 ms). If the GLOBAL resident doesn't allow a single chunk, try
+    # per-batch-element calls (ndistinct shrinks b×, so e.g. the L0
+    # c=66 and pool c=128 sites become single-chunk with a padded
+    # 128-lane resident); only then fall back to the scatter.
     ns8 = -(-ns // 8) * 8
+    budget = 10 * 1024 * 1024
+    batch_split = False
     try:
-        c_blk, _pk, _rows_p = _pick_packing(c, sub, b * ns8, nwin,
-                                            10 * 1024 * 1024)
+        c_blk, _pk, _rows_p = _pick_packing(c, sub, b * ns8, nwin, budget)
     except ValueError:
-        return _transpose_scatter(ct, index, feat_shape)
-    if -(-c // c_blk) > 1:
-        return _transpose_scatter(ct, index, feat_shape)
+        c_blk = 0
+    if c_blk < c:  # global packing would chunk (or not fit at all)
+        try:
+            c_blk, _pk, _rows_p = _pick_packing(c, sub, ns8, nwin, budget)
+        except ValueError:
+            c_blk = 0
+        if c_blk >= c and b > 1:
+            batch_split = True
+        else:
+            return _transpose_scatter(ct, index, feat_shape)
 
     rows = ct.reshape(b, rpb, c)
     if rows.dtype != jnp.bfloat16:
@@ -349,12 +360,33 @@ def _transpose_banded(ct, index, feat_shape):
     )
 
     rows_flat = rows.reshape(n_rows, c)
-    out = banded_window_segsum(
-        rows_flat, off.reshape(-1), base,
-        a_lo.astype(jnp.int32), a_hi.astype(jnp.int32),
-        b * ns8, nwin=nwin, blk=blk, sub=sub,
-        interpret=not pallas_supported(),
-    )
+    interp = not pallas_supported()
+    a_lo = a_lo.astype(jnp.int32)
+    a_hi = a_hi.astype(jnp.int32)
+    if batch_split:
+        # per-batch-element calls: base is 0 (offsets are already
+        # per-batch indices), the resident shrinks b× so the channels
+        # fit one padded chunk and the one-hot is built once for all of
+        # them. Totals (rows streamed, one-hot compares, MXU) are
+        # unchanged — only the grid is cut into b pieces.
+        zeros_b = jnp.zeros((nblk_b,), jnp.int32)
+        pieces = [
+            banded_window_segsum(
+                rows_flat[i * rpb_pad:(i + 1) * rpb_pad],
+                off[i].reshape(-1), zeros_b,
+                a_lo[i * nblk_b:(i + 1) * nblk_b],
+                a_hi[i * nblk_b:(i + 1) * nblk_b],
+                ns8, nwin=nwin, blk=blk, sub=sub, interpret=interp,
+            )
+            for i in range(b)
+        ]
+        out = jnp.stack(pieces).reshape(b * ns8, c)
+    else:
+        out = banded_window_segsum(
+            rows_flat, off.reshape(-1), base,
+            a_lo, a_hi,
+            b * ns8, nwin=nwin, blk=blk, sub=sub, interpret=interp,
+        )
 
     # exact shadow-row recovery: one masked reduction per batch element
     # (the cast fuses into the einsum; no f32 copy of the rows exists)

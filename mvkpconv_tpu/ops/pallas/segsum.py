@@ -125,27 +125,38 @@ def _kernel(base_ref, alo_ref, ahi_ref, off_ref, rows_ref, out_ref,
 def _pick_packing(c, sub, ndistinct, nwin, vmem_budget_bytes):
     """Choose (c_blk, pk, rows_p): lane-packed resident output layout.
 
-    pk is capped by divisibility of ``sub`` (slabs fold pk rows per
-    packed row) and by the VMEM budget for the resident block.
+    Prefers a SINGLE chunk — the smallest c_blk ≥ c that fits the budget
+    (the VPU one-hot construction is the kernel's bound and is paid once
+    per chunk, so lane padding beats chunking) — then falls back to
+    multi-chunk with the widest fitting c_blk. pk is capped by
+    divisibility of ``sub`` (slabs fold pk rows per packed row).
+
+    The accumulate guard caps windows at a_hi ≤ (ns-1)//sub, so the
+    resident only needs ``sub + pk`` rows of slack past ``ndistinct``
+    (NOT nwin·sub — that over-allocation cost 24% VMEM at L0 scale).
     """
     # pk ≤ 8: wrappers align bases to 8, and sub must fold evenly
     max_pk = 1
     while max_pk < 8 and sub % (max_pk * 2) == 0:
         max_pk *= 2
-    for c_blk in (128, 64, 32, 16, 8):
-        if c_blk > c and c_blk != 8:
-            continue
+
+    def fit(c_blk):
         pk = min(128 // c_blk, max_pk)
-        # slack: the last window may extend nwin*sub past the last base,
-        # plus pk rows of packing shift
-        ndist_pad = ndistinct + nwin * sub + pk
-        rows_p = -(-ndist_pad // pk)
+        rows_p = -(-(ndistinct + sub + pk) // pk)
         # VMEM tiles are (8, 128): blocks narrower than 128 lanes still
         # occupy 128 — budget with the padded width
         if rows_p * max(pk * c_blk, 128) * 4 <= vmem_budget_bytes:
             return c_blk, pk, rows_p
+        return None
+
+    for c_blk in (8, 16, 32, 64, 128):  # single chunk, least pad first
+        if c_blk >= c and fit(c_blk):
+            return fit(c_blk)
+    for c_blk in (128, 64, 32, 16, 8):  # multi-chunk, widest fitting
+        if c_blk <= c and fit(c_blk):
+            return fit(c_blk)
     raise ValueError(
-        f"no lane packing fits ndistinct={ndistinct} (+{nwin}x{sub} slack) "
+        f"no lane packing fits ndistinct={ndistinct} (+{sub} slack) "
         f"in {vmem_budget_bytes} bytes of VMEM"
     )
 

@@ -95,6 +95,21 @@ def test_banded_bf16_mode_close_to_scatter(rng):
     )
 
 
+def test_banded_batch_split_path(rng):
+    """ns large enough that the GLOBAL resident can't hold the channels
+    in one chunk, but a per-batch-element resident can: exercises the
+    batch-split branch of _transpose_banded (base=0 per element)."""
+    b, ns, nq, k, c = 2, 12000, 500, 4, 70
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+    with transpose_mode("banded"):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        (d_feat,) = jax.jit(pull)(ct)
+    oracle = _numpy_scatter_oracle(ct, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
+
+
 def test_banded_residual_path(rng):
     """ns large enough that nsub_full > NWIN and indices spread over the
     whole source: most rows exceed the per-block window budget and must
