@@ -187,12 +187,7 @@ class Frames2DDataset:
     def __len__(self):
         return len(self.frames)
 
-    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
-        idx = (
-            self.rng.randint(0, len(self.frames), batch_size)
-            if self.training
-            else np.arange(batch_size) % len(self.frames)
-        )
+    def _assemble(self, idx) -> Dict[str, np.ndarray]:
         imgs, labs = [], []
         for i in idx:
             scene, f = self.frames[i]
@@ -206,8 +201,26 @@ class Frames2DDataset:
             labs.append(lab.astype(np.int32))
         return {"images": np.stack(imgs), "labels": np.stack(labs)}
 
+    def sample_batch(self, batch_size: int) -> Dict[str, np.ndarray]:
+        idx = (
+            self.rng.randint(0, len(self.frames), batch_size)
+            if self.training
+            else np.arange(batch_size) % len(self.frames)
+        )
+        return self._assemble(idx)
+
     def batches(self, batch_size: int, num_batches: Optional[int] = None):
         i = 0
         while num_batches is None or i < num_batches:
             yield self.sample_batch(batch_size)
             i += 1
+
+    def iter_batches(self, batch_size: int):
+        """Ordered one-pass sweep of EVERY frame (for full-set evaluation,
+        mvpnet/test_2d.py:1-187): yields (batch, count) where the last
+        batch wraps to keep the static shape and ``count`` is how many
+        leading rows are real (un-wrapped) frames."""
+        n = len(self.frames)
+        for start in range(0, n, batch_size):
+            idx = [(start + j) % n for j in range(batch_size)]
+            yield self._assemble(idx), min(batch_size, n - start)

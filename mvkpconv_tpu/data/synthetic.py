@@ -32,17 +32,68 @@ def _box_points(rng, center, size, points_per_face: int) -> np.ndarray:
     return pts + np.asarray(center)
 
 
+def _rotation(rng, max_tilt: float) -> np.ndarray:
+    """Random yaw + bounded tilt — non-axis-aligned object poses."""
+    yaw = rng.uniform(0, 2 * np.pi)
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+    tilt = rng.uniform(-max_tilt, max_tilt)
+    ct, st = np.cos(tilt), np.sin(tilt)
+    rx = np.array([[1.0, 0, 0], [0, ct, -st], [0, st, ct]])
+    return rz @ rx
+
+
+def _cylinder_points(rng, radius, height, n) -> np.ndarray:
+    """Lateral shell of a cylinder along +z, centered at origin."""
+    theta = rng.uniform(0, 2 * np.pi, n)
+    z = (rng.rand(n) - 0.5) * height
+    return np.stack(
+        [radius * np.cos(theta), radius * np.sin(theta), z], 1
+    )
+
+
+def _sphere_shell_points(rng, radius, n) -> np.ndarray:
+    v = rng.normal(size=(n, 3))
+    v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-9)
+    return v * radius
+
+
+def _arch_points(rng, major, minor, n) -> np.ndarray:
+    """Half-torus arch in the xz plane (feet on z=0, crown at z=major)."""
+    phi = rng.uniform(0, np.pi, n)  # sweep: foot → crown → foot
+    psi = rng.uniform(0, 2 * np.pi, n)  # tube angle
+    ring = major + minor * np.cos(psi)
+    return np.stack(
+        [ring * np.cos(phi), minor * np.sin(psi), ring * np.sin(phi)], 1
+    )
+
+
 def make_scene(
     seed: int = 0,
     num_points: int = 60000,
     room: Tuple[float, float, float] = (6.0, 5.0, 2.6),
     num_boxes: int = 6,
+    family: str = "boxes",
 ) -> Dict[str, np.ndarray]:
     """Build a labeled room point cloud.
+
+    ``family`` selects the furniture geometry:
+      'boxes'  — axis-aligned planar boxes (the round-1 default; planes
+                 only, the regime where rigid KPConv grids already align).
+      'curved' — cylinders / spherical shells / half-torus arches /
+                 tilted cylinders, with class identity carried by the
+                 curvature profile. This is the regime the reference
+                 claims deformable kernels for (KPConv paper §5;
+                 KPConv-PyTorch/models/blocks.py:237-325): thin shells
+                 whose curvature radius is comparable to the kernel
+                 extent, where a rigid kernel ball mostly samples empty
+                 space and an offset-adapted one conforms to the surface.
 
     Returns dict(points (N,3) float32, colors (N,3) float32 in [0,1],
     labels (N,) int32 in [0,20)).
     """
+    if family not in ("boxes", "curved"):
+        raise ValueError(f"unknown scene family {family!r}")
     rng = np.random.RandomState(seed)
     lx, ly, lz = room
     n_floor = num_points // 3
@@ -75,22 +126,67 @@ def make_scene(
 
     boxes, box_lab, box_col = [], [], []
     per_box = max(n_box // max(num_boxes, 1) // 6, 8)
-    box_classes = rng.choice([2, 3, 4, 5, 6, 7, 19], size=num_boxes)
     # class-correlated appearance (like real furniture): each class gets its
     # palette color with per-instance jitter, so 2D appearance carries class
     # signal that pure geometry lacks
     from mvkpconv_tpu.data.meta import SCANNET_COLOR_PALETTE
 
     palette = np.asarray(SCANNET_COLOR_PALETTE, np.float32) / 255.0
-    for b in range(num_boxes):
-        size = rng.uniform(0.4, 1.4, 3) * np.array([1, 1, 0.8])
-        center = np.array(
-            [rng.uniform(1, lx - 1), rng.uniform(1, ly - 1), size[2] / 2]
-        )
-        pts = _box_points(rng, center, size, per_box)
+    if family == "boxes":
+        box_classes = rng.choice([2, 3, 4, 5, 6, 7, 19], size=num_boxes)
+        obj_iter = [("box", int(c)) for c in box_classes]
+    else:
+        # class identity == curvature profile; radii chosen in the
+        # 0.1–0.5 m band, comparable to the L1–L3 kernel extents
+        # (dl 0.05 × conv_radius 2.5 doubling per layer: 0.125/0.25/0.5 m)
+        kinds = [("cyl", 2), ("sphere", 4), ("arch", 7), ("tilted_cyl", 19)]
+        obj_iter = [kinds[b % len(kinds)] for b in range(num_boxes)]
+    for b, (kind, cls) in enumerate(obj_iter):
+        n_obj = per_box * 6
+        if kind == "box":
+            size = rng.uniform(0.4, 1.4, 3) * np.array([1, 1, 0.8])
+            center = np.array(
+                [rng.uniform(1, lx - 1), rng.uniform(1, ly - 1), size[2] / 2]
+            )
+            pts = _box_points(rng, center, size, per_box)
+        elif kind == "cyl":
+            radius = rng.uniform(0.15, 0.5)
+            height = rng.uniform(0.8, min(2.0, lz - 0.2))
+            pts = _cylinder_points(rng, radius, height, n_obj)
+            center = np.array(
+                [rng.uniform(1, lx - 1), rng.uniform(1, ly - 1), height / 2]
+            )
+            pts = pts + center
+        elif kind == "tilted_cyl":
+            radius = rng.uniform(0.12, 0.35)
+            height = rng.uniform(0.8, 1.8)
+            pts = _cylinder_points(rng, radius, height, n_obj)
+            pts = pts @ _rotation(rng, max_tilt=0.6).T
+            zmin = pts[:, 2].min()
+            center = np.array(
+                [rng.uniform(1, lx - 1), rng.uniform(1, ly - 1), -zmin + 0.02]
+            )
+            pts = pts + center
+        elif kind == "sphere":
+            radius = rng.uniform(0.2, 0.45)
+            pts = _sphere_shell_points(rng, radius, n_obj)
+            center = np.array(
+                [rng.uniform(1, lx - 1), rng.uniform(1, ly - 1),
+                 rng.uniform(radius, 1.2)]
+            )
+            pts = pts + center
+        else:  # arch
+            major = rng.uniform(0.4, 0.9)
+            minor = rng.uniform(0.08, 0.18)
+            pts = _arch_points(rng, major, minor, n_obj)
+            pts = pts @ _rotation(rng, max_tilt=0.0).T  # yaw only
+            center = np.array(
+                [rng.uniform(1.2, lx - 1.2), rng.uniform(1.2, ly - 1.2), 0.0]
+            )
+            pts = pts + center
         boxes.append(pts)
-        box_lab.append(np.full(len(pts), box_classes[b], np.int32))
-        base = palette[box_classes[b]] + rng.normal(scale=0.05, size=3)
+        box_lab.append(np.full(len(pts), cls, np.int32))
+        base = palette[cls] + rng.normal(scale=0.05, size=3)
         box_col.append(np.tile(np.clip(base, 0, 1)[None], (len(pts), 1)))
     boxes = np.concatenate(boxes)
     box_lab = np.concatenate(box_lab)

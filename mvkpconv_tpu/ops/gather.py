@@ -11,23 +11,19 @@ channels-last (..., N, C), the natural layout for TPU (last dim = lanes).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
+import warnings
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 
-# How the gather's VJP materializes d_features. Measured on TPU v5e at the
-# L0 bench shape (1.97M rows, 65k targets, C=32):
-#   'scatter' — jnp .at[].add, XLA's native take-transpose: 58M rows/s.
-#   'sorted'  — sort rows by target + permuted gather + blocked cumsum +
-#               boundary diff: every stage runs at gather/VPU speed
-#               (sortpair 5.2 ms, perm-take 6.6 ms, blocked cumsum 6.0 ms).
-#               Exact up to f32 reassociation (it ACCUMULATES in f32, which
-#               is equal-or-better precision than the scatter's ct-dtype
-#               adds). The backward-scatter path is 117.7 ms of the 119 ms
-#               train-step backward (scratch/prof_scatter_share.py), which
-#               is why this is switchable at all.
-_TRANSPOSE_MODE = "scatter"
+_TRANSPOSE_MODES = ("scatter", "sorted", "window", "banded", "banded_bf16")
 
 _TRANSPOSE_BLK = 512  # rows per cumsum block in the sorted transpose
 
@@ -42,21 +38,74 @@ _BANDED_NWIN = 10   # statically unrolled sub-windows: covers bands up to
                     # exact residual-scatter path
 
 
-def set_gather_transpose(mode: str) -> None:
-    """Select the group_points VJP implementation
-    ('scatter' | 'sorted' | 'window' | 'banded').
+class GatherVJP(NamedTuple):
+    """How the gather's VJP materializes d_features (static, hashable —
+    captured per group_points CALL SITE at forward trace time, so two train
+    steps traced under different scopes each keep their own mode; nothing
+    is read back at backward-trace time).
 
-    Read at TRACE time of the backward: set it before the first gradient
-    trace (make_train_step does this from KPConfig.gather_transpose).
+    mode — measured on TPU v5e at the L0 bench shape (1.97M rows, 65k
+    targets, C=32):
+      'scatter' — jnp .at[].add, XLA's native take-transpose: 58M rows/s.
+      'sorted'  — sort rows by target + permuted gather + blocked cumsum +
+                  boundary diff: every stage runs at gather/VPU speed.
+                  Exact up to f32 reassociation (accumulates in f32). The
+                  backward scatter is 117.7 ms of the 119 ms train-step
+                  backward (scratch/prof_scatter_share.py), which is why
+                  this is switchable at all.
+      'window' / 'banded' / 'banded_bf16' — MXU one-hot segment sums
+                  (ops/pallas/segsum.py); see _transpose_window /
+                  _transpose_banded.
+
+    mesh/axis — when a banded* mode runs under a multi-device mesh, the
+    Pallas kernel (a custom call with no GSPMD/Shardy partitioning rule)
+    is wrapped in ``shard_map`` over the batch dim along ``axis``: the
+    batch-split kernel calls are per-batch-element already, so each shard's
+    rows/targets are self-contained and the transpose runs fully local —
+    the +41% banded train win survives scale-out instead of silently
+    falling back to scatter.
     """
-    global _TRANSPOSE_MODE
-    if mode not in ("scatter", "sorted", "window", "banded", "banded_bf16"):
+
+    mode: str = "scatter"
+    mesh: Optional[jax.sharding.Mesh] = None
+    axis: str = "data"
+
+
+_VJP_CONFIG: contextvars.ContextVar[GatherVJP] = contextvars.ContextVar(
+    "gather_vjp_config", default=GatherVJP()
+)
+
+
+def set_gather_transpose(mode: str) -> None:
+    """Set the process-default group_points VJP mode
+    ('scatter' | 'sorted' | 'window' | 'banded' | 'banded_bf16').
+
+    Captured per call site at FORWARD trace time — set it (or use the
+    ``gather_transpose`` scope) before tracing; already-traced functions
+    keep the mode they captured."""
+    if mode not in _TRANSPOSE_MODES:
         raise ValueError(f"unknown gather transpose mode {mode!r}")
-    _TRANSPOSE_MODE = mode
+    _VJP_CONFIG.set(GatherVJP(mode=mode))
 
 
 def get_gather_transpose() -> str:
-    return _TRANSPOSE_MODE
+    return _VJP_CONFIG.get().mode
+
+
+@contextlib.contextmanager
+def gather_transpose(mode: str, mesh=None, axis: str = "data"):
+    """Scope the group_points VJP config for code traced within.
+
+    ``make_train_step`` opens this scope inside the step body (i.e. at
+    trace time), so each step's traced ops capture exactly its config —
+    steps with different configs coexist in one process."""
+    if mode not in _TRANSPOSE_MODES:
+        raise ValueError(f"unknown gather transpose mode {mode!r}")
+    token = _VJP_CONFIG.set(GatherVJP(mode=mode, mesh=mesh, axis=axis))
+    try:
+        yield
+    finally:
+        _VJP_CONFIG.reset(token)
 
 
 def _gather_rows(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
@@ -73,7 +122,6 @@ def _gather_rows(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(batch_shape + (nq, k, c))
 
 
-@jax.custom_vjp
 def group_points(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """Gather per-point features at neighbor indices.
 
@@ -85,18 +133,25 @@ def group_points(features: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
 
     Returns:
       (..., Nq, K, C) gathered features. Differentiable (VJP = scatter-add
-      or the sorted segment-sum transpose, see ``set_gather_transpose``;
-      both match group_points_kernel.cu's backward semantics).
+      or a segment-sum transpose; the ambient ``gather_transpose`` scope /
+      ``set_gather_transpose`` default is captured statically per call
+      site at forward trace time; all modes match
+      group_points_kernel.cu's backward semantics).
 
     Perf note: the batch dims are folded into the row axis and gathered with
     a single flat ``jnp.take`` — measured 3× faster on TPU than the batched
     ``take_along_axis`` lowering (the gather is start-bound at ~340-440M
     starts/s in flat form, independent of payload and source size).
     """
+    return _group_points(features, index, _VJP_CONFIG.get())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _group_points(features, index, gcfg: GatherVJP):
     return _gather_rows(features, index)
 
 
-def _group_points_fwd(features, index):
+def _group_points_fwd(features, index, gcfg):
     # zero-byte marker carrying Ns and the feature dtype statically
     # (residuals must be JAX types — shape tuples/dtypes are not)
     marker = jnp.zeros((features.shape[-2], 0), features.dtype)
@@ -250,7 +305,7 @@ def _transpose_window(ct, index, feat_shape):
     return out.reshape(feat_shape)
 
 
-def _transpose_banded(ct, index, feat_shape):
+def _transpose_banded(ct, index, feat_shape, interpret=None):
     """No-sort banded one-hot-matmul segment sum (the production fast path).
 
     Every sort-based transpose is doomed by the permuted take of the
@@ -360,7 +415,7 @@ def _transpose_banded(ct, index, feat_shape):
     )
 
     rows_flat = rows.reshape(n_rows, c)
-    interp = not pallas_supported()
+    interp = (not pallas_supported()) if interpret is None else interpret
     a_lo = a_lo.astype(jnp.int32)
     a_hi = a_hi.astype(jnp.int32)
     if batch_split:
@@ -452,15 +507,53 @@ def _transpose_banded(ct, index, feat_shape):
     return out.reshape(feat_shape)
 
 
-def _group_points_bwd(res, ct):
+def _transpose_banded_sharded(ct, index, feat_shape, mesh, axis):
+    """Run the banded transpose fully shard-local over the batch dim.
+
+    The banded Pallas kernel is a custom call GSPMD/Shardy cannot
+    partition; unwrapped, a multi-device mesh would replicate its operands
+    (an all-gather of every cotangent row). But _transpose_banded is
+    per-batch-element by construction (the batch-split path literally
+    calls the kernel once per element), so under ``shard_map`` over the
+    batch dim each shard owns complete (rows, targets) segments and the
+    transpose needs no communication at all. Returns None when the batch
+    dim cannot shard over the axis (caller falls back to scatter).
+    """
+    n = mesh.shape.get(axis, 1)
+    batch_shape = index.shape[:-2]
+    if n <= 1:
+        return _transpose_banded(ct, index, feat_shape)
+    if not batch_shape or batch_shape[0] % n != 0:
+        return None
+    ns, c = feat_shape[-2], feat_shape[-1]
+    # interpret must follow the MESH devices' platform, not the process
+    # default backend (a CPU dryrun mesh can coexist with a TPU default)
+    interp = mesh.devices.flat[0].platform not in ("tpu", "axon")
+
+    def body(ct_l, idx_l):
+        fs = idx_l.shape[:-2] + (ns, c)
+        return _transpose_banded(ct_l, idx_l, fs, interpret=interp)
+
+    spec = P(axis)
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(ct, index)
+
+
+def _group_points_bwd(gcfg, res, ct):
     index, marker = res
+    mode = gcfg.mode
     feat_shape = index.shape[:-2] + (marker.shape[0], ct.shape[-1])
-    if _TRANSPOSE_MODE == "sorted":
+    if mode == "sorted":
         d_feat = _transpose_sorted(ct, index, feat_shape)
-    elif _TRANSPOSE_MODE == "window":
+    elif mode == "window":
         d_feat = _transpose_window(ct, index, feat_shape)
-    elif _TRANSPOSE_MODE in ("banded", "banded_bf16"):
-        if _TRANSPOSE_MODE == "banded_bf16" and ct.dtype != jnp.bfloat16:
+    elif mode in ("banded", "banded_bf16"):
+        if mode == "banded_bf16" and ct.dtype != jnp.bfloat16:
             # quality-for-speed knob: quantize the cotangent rows to bf16
             # so the kernel's one-hot dot runs ONE MXU pass instead of the
             # 3-pass f32 decomposition (59 vs 19 ms at the L0 c=32 site).
@@ -469,14 +562,27 @@ def _group_points_bwd(res, ct):
             # relative rounding into per-row gradient terms the model
             # computed at bf16 precision anyway; accumulation stays f32.
             ct = ct.astype(jnp.bfloat16)
-        d_feat = _transpose_banded(ct, index, feat_shape)
+        if gcfg.mesh is not None:
+            d_feat = _transpose_banded_sharded(
+                ct, index, feat_shape, gcfg.mesh, gcfg.axis
+            )
+            if d_feat is None:
+                warnings.warn(
+                    f"banded gather transpose: batch dim "
+                    f"{index.shape[:-2]} does not shard over mesh axis "
+                    f"{gcfg.axis!r}={gcfg.mesh.shape.get(gcfg.axis)}; "
+                    "falling back to the scatter transpose"
+                )
+                d_feat = _transpose_scatter(ct, index, feat_shape)
+        else:
+            d_feat = _transpose_banded(ct, index, feat_shape)
     else:
         d_feat = _transpose_scatter(ct, index, feat_shape)
     d_index = np.zeros(index.shape, dtype=jax.dtypes.float0)
     return d_feat.astype(marker.dtype), d_index
 
 
-group_points.defvjp(_group_points_fwd, _group_points_bwd)
+_group_points.defvjp(_group_points_fwd, _group_points_bwd)
 
 
 def _flatten_index(index, batch_shape, ns):

@@ -27,15 +27,20 @@ def add_common_args(ap: argparse.ArgumentParser):
 def load_scenes(
     spec: str, with_views: bool, num_views: int, image_hw, seed_offset: int = 0
 ) -> List[Dict[str, np.ndarray]]:
-    """'synthetic[:N]' → generated scenes; '<path>.pkl' → preprocessed split."""
+    """'synthetic[-curved][:N]' → generated scenes; '<path>.pkl' →
+    preprocessed split."""
     from mvkpconv_tpu.data import synthetic
     from mvkpconv_tpu.data.scannet_io import load_split
 
     if spec.startswith("synthetic"):
         n = int(spec.split(":")[1]) if ":" in spec else 4
+        head = spec.split(":")[0]
+        family = head.split("-", 1)[1] if "-" in head else "boxes"
         scenes = []
         for s in range(n):
-            scene = synthetic.make_scene(seed=s + seed_offset, num_points=60000)
+            scene = synthetic.make_scene(
+                seed=s + seed_offset, num_points=60000, family=family
+            )
             if with_views:
                 scene.update(
                     synthetic.render_views(

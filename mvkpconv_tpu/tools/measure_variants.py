@@ -68,6 +68,11 @@ def main(argv=None):
                     help="KPConfig field override key=value applied to every "
                     "variant (repeatable) — e.g. --override "
                     "deform_lr_factor=1.0 for the deformable sweep")
+    ap.add_argument("--family", default="boxes",
+                    choices=("boxes", "curved"),
+                    help="synthetic scene family; 'curved' (cylinders / "
+                    "shells / arches) is the regime the reference claims "
+                    "deformable kernels win in")
     ap.add_argument("--tiny", action="store_true",
                     help="minuscule shapes for CI smoke runs (CPU-friendly); "
                     "accuracy numbers are meaningless at this size")
@@ -111,7 +116,9 @@ def main(argv=None):
     def make_scenes(n, seed0, with_views=True):
         scenes = []
         for i in range(n):
-            s = synthetic.make_scene(seed=seed0 + i, num_points=scene_pts)
+            s = synthetic.make_scene(
+                seed=seed0 + i, num_points=scene_pts, family=args.family
+            )
             if with_views:
                 s.update(
                     synthetic.render_views(s, frames, h, w, seed=seed0 + i)

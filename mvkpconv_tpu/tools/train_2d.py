@@ -36,7 +36,6 @@ def main(argv=None):
     from mvkpconv_tpu.models import UNetResNet34
     from mvkpconv_tpu.training.config import KPConfig
     from mvkpconv_tpu.training.init import jit_init
-    from mvkpconv_tpu.training.metrics import confusion_matrix, iou_from_confusion
     from mvkpconv_tpu.training.optim import make_optimizer
     from mvkpconv_tpu.training.steps import (
         create_train_state,
@@ -71,28 +70,34 @@ def main(argv=None):
     eval_step = make_eval_step(apply_fn, cfg)
 
     def eval_fn(st):
+        from mvkpconv_tpu.eval import evaluate_frames
         from mvkpconv_tpu.utils.visualize import save_2d_panel
 
-        conf = np.zeros((cfg.num_classes, cfg.num_classes), np.int64)
-        for i in range(4):
-            vb = val_ds.sample_batch(cfg.batch_num)
-            probs = np.asarray(eval_step(st, {k: jnp.asarray(v) for k, v in vb.items()}))
-            conf += np.asarray(
-                confusion_matrix(
-                    jnp.argmax(jnp.asarray(probs), -1), jnp.asarray(vb["labels"]),
-                    cfg.num_classes, ignore_label=cfg.ignore_label,
-                )
+        panel_done = []
+
+        def probs_fn(vb):
+            probs = np.asarray(
+                eval_step(st, {k: jnp.asarray(v) for k, v in vb.items()})
             )
-            if i == 0:
+            if not panel_done:
                 # image | gt | prediction panel, like the reference's TB
                 # image summaries (train_2d.py:209-228)
+                panel_done.append(True)
                 step = int(np.asarray(st.step))
                 save_2d_panel(
                     f"{args.output}/panels/step{step:06d}.png",
                     vb["images"][0], vb["labels"][0], probs[0].argmax(-1),
                 )
-        iou = iou_from_confusion(conf)
-        return {"miou": float(iou.mean()), "class_iou": iou}
+            return probs
+
+        # FULL val-set sweep — the same code path tools/test_2d.py scores
+        # a saved checkpoint with, so the metric that selects model_best
+        # here is reproducible standalone (mvpnet/test_2d.py parity)
+        ev = evaluate_frames(
+            probs_fn, val_ds, batch_size=cfg.batch_num,
+            ignore_label=cfg.ignore_label,
+        )
+        return {"miou": ev.miou, "class_iou": ev.class_iou}
 
     trainer = Trainer(step, state, args.output, cfg, eval_fn=eval_fn)
     trainer.maybe_resume()

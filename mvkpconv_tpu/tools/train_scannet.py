@@ -113,7 +113,23 @@ def main(argv=None):
     tx = make_optimizer(cfg, frozen_prefixes=frozen)
     state = create_train_state(variables, tx)
     apply_fn = make_apply_fn(model, cfg, kind)
-    step = make_train_step(apply_fn, tx, cfg)
+    # data-parallel mesh over every visible device (single- OR multi-
+    # process); threading it into the step keeps the banded gather-
+    # transpose shard-local at any scale
+    mesh = None
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        if jax.process_count() > 1 or cfg.batch_num % n_dev == 0:
+            from mvkpconv_tpu.parallel import make_mesh
+
+            mesh = make_mesh()  # spans jax.devices() across all processes
+        else:
+            print(
+                f"batch_num={cfg.batch_num} does not divide the "
+                f"{n_dev}-device mesh — training on one device; set "
+                f"--batch-num to a multiple of {n_dev} for data parallelism"
+            )
+    step = make_train_step(apply_fn, tx, cfg, mesh=mesh)
     eval_step = make_eval_step(apply_fn, cfg)
 
     def eval_fn(st):
@@ -128,11 +144,6 @@ def main(argv=None):
             artifact_dir=Path(args.output) / "val_preds",
         )
 
-    mesh = None
-    if jax.process_count() > 1:
-        from mvkpconv_tpu.parallel import make_mesh
-
-        mesh = make_mesh()  # spans jax.devices() across all processes
     trainer = Trainer(step, state, args.output, cfg, mesh=mesh, eval_fn=eval_fn)
     trainer.maybe_resume()
     trainer.fit(

@@ -201,10 +201,14 @@ class KPConfig:
     # (scratch/prof_scatter_share.py); 'banded_bf16' measured 161.5 vs
     # 185.7 ms/step end-to-end (405.9k vs 352.9k pts/s) with an unchanged
     # convergence drive (loss 3.0→0.14, acc 0.946), so it is the
-    # single-chip production default; make_train_step falls back to
-    # 'scatter' on multi-device meshes (the Pallas custom call has no
-    # GSPMD partitioning rule). Set 'scatter' or 'banded' for exact f32
-    # accumulation. Applied by make_train_step via set_gather_transpose.
+    # production default (make_train_step emits a one-time inexact-
+    # gradient notice). On a multi-device mesh, pass the mesh to
+    # make_train_step(..., mesh=...) and the banded kernel runs shard-
+    # local under shard_map over the data axis — full speed at scale; a
+    # multi-accelerator process that does NOT thread the mesh falls back
+    # to 'scatter' (with a warning). Set 'scatter' or 'banded' for exact
+    # f32 accumulation. Captured per step at trace time via the
+    # ops.gather.gather_transpose scope.
     gather_transpose: str = "banded_bf16"
     compute_dtype: Any = jnp.float32
     mesh_shape: Tuple[int, ...] = (1,)

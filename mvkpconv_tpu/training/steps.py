@@ -83,35 +83,61 @@ def make_train_step(
     cfg,
     loss_fn: Callable = segmentation_cross_entropy,
     donate: bool = True,
+    mesh=None,
 ):
-    """Build the jitted training step (forward+backward+update)."""
+    """Build the jitted training step (forward+backward+update).
 
-    from mvkpconv_tpu.ops.gather import set_gather_transpose
+    ``mesh`` — the jax.sharding.Mesh the caller shards batches over (the
+    same one handed to Trainer / parallel.shard_batch). Threading it here
+    lets the banded gather-transpose run shard-local (shard_map over the
+    data axis) instead of degrading on multi-chip meshes.
+    """
 
-    # module-level, read at backward TRACE time (i.e. inside this step's
-    # first jit execution) — the eval/inference paths never reach it
+    import warnings
+
+    from mvkpconv_tpu.ops.gather import gather_transpose
+
     mode = getattr(cfg, "gather_transpose", "scatter")
-    mesh_devices = 1
-    for d in getattr(cfg, "mesh_shape", (1,)):
-        mesh_devices *= d
+    gmesh = mesh
     if mode.startswith("banded"):
-        # the banded Pallas kernel is a custom call with no GSPMD
-        # partitioning rule: under a real multi-chip mesh the partitioner
-        # would force operand replication (an all-gather of the cotangent
-        # rows). Fall back to the scatter transpose when the config
-        # declares a multi-device mesh OR the process sees multiple
-        # accelerator devices. CPU device meshes keep the banded path:
-        # there the kernel runs in interpret mode (pure jax ops), which
-        # GSPMD partitions fine — that is also what keeps the sharded
-        # CPU tests exercising it.
-        try:
-            plat = jax.devices()[0].platform
-            n_dev = len(jax.devices())
-        except RuntimeError:
-            plat, n_dev = "cpu", 1
-        if mesh_devices > 1 or (n_dev > 1 and plat in ("tpu", "axon")):
-            mode = "scatter"
-    set_gather_transpose(mode)
+        if mesh is not None:
+            # shard_map over the mesh's data axis keeps the banded Pallas
+            # kernel fully shard-local (ops/gather.py:_transpose_banded_
+            # sharded) — no fallback, the +41% train win survives scale-out.
+            pass
+        else:
+            # No mesh threaded in, but the caller may still GSPMD-shard
+            # the batch (jit infers shardings from inputs). The banded
+            # Pallas kernel is a custom call the partitioner cannot split:
+            # it would force operand replication. When this process sees
+            # multiple ACCELERATOR devices the inputs may live on any of
+            # them, so fall back to the scatter transpose. Multi-device
+            # CPU (the test platform) keeps banded: there the kernel runs
+            # in interpret mode (pure jax ops), which partitions fine.
+            try:
+                plat = jax.devices()[0].platform
+                n_dev = len(jax.devices())
+            except RuntimeError:
+                plat, n_dev = "cpu", 1
+            if n_dev > 1 and plat != "cpu":
+                warnings.warn(
+                    "gather_transpose is banded but no mesh was passed to "
+                    "make_train_step in a multi-accelerator process — "
+                    "falling back to the scatter transpose. Pass the mesh "
+                    "(make_train_step(..., mesh=mesh)) to keep the banded "
+                    "kernel shard-local."
+                )
+                mode = "scatter"
+    if mode == "banded_bf16":
+        # one-time notice (ADVICE r4): this mode quantizes f32 cotangent
+        # rows to bf16 in the gather VJP — inexact gradients, measured
+        # convergence-neutral on the reference protocol (RESULTS.md s9).
+        warnings.warn(
+            "gather_transpose='banded_bf16' quantizes gather-VJP cotangent "
+            "rows to bf16 (f32 accumulation) for a single MXU pass — "
+            "convergence-verified on this model family but not exact; set "
+            "gather_transpose='banded' or 'scatter' for exact gradients."
+        )
 
     has_deform = any("deform" in b for b in getattr(cfg, "architecture", ()))
     mutable = ["batch_stats"] + (["intermediates"] if has_deform else [])
@@ -148,9 +174,14 @@ def make_train_step(
                 )
             return loss, (logits, updates)
 
-        (loss, (logits, updates)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True
-        )(state.params)
+        # The scope is active while THIS body traces: every group_points
+        # call site inside captures (mode, mesh) statically into its
+        # custom_vjp params — steps built with different configs coexist
+        # in one process (no module-global mode, ADVICE r4).
+        with gather_transpose(mode, mesh=gmesh):
+            (loss, (logits, updates)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True
+            )(state.params)
         upd, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, upd)
         new_state = TrainState(

@@ -37,6 +37,39 @@ def test_make_scene_labels_and_shapes():
     assert {0, 1} <= set(labs[labs >= 0].tolist())  # walls + floor present
 
 
+def test_make_scene_curved_family():
+    """Curved family (VERDICT r4 #5): class identity carried by curvature —
+    cylinders(2) / spherical shells(4) / arches(7) / tilted cylinders(19)
+    all present, geometry actually curved (cylinder radii exact)."""
+    scene = synthetic.make_scene(seed=1, num_points=20000, family="curved")
+    labs = scene["labels"]
+    assert {0, 1, 2, 4, 7, 19} <= set(labs[labs >= 0].tolist())
+    # the exact-surface helpers: every generated point sits ON the shell
+    rng = np.random.RandomState(0)
+    cyl = synthetic._cylinder_points(rng, radius=0.3, height=1.0, n=500)
+    np.testing.assert_allclose(np.hypot(cyl[:, 0], cyl[:, 1]), 0.3, atol=1e-6)
+    assert np.abs(cyl[:, 2]).max() <= 0.5 + 1e-6
+    sph = synthetic._sphere_shell_points(rng, radius=0.4, n=500)
+    np.testing.assert_allclose(np.linalg.norm(sph, axis=1), 0.4, atol=1e-6)
+    arch = synthetic._arch_points(rng, major=0.6, minor=0.1, n=500)
+    # torus equation: (sqrt(x²+z²) − major)² + y² == minor²
+    ring = np.hypot(arch[:, 0], arch[:, 2])
+    np.testing.assert_allclose(
+        np.hypot(ring - 0.6, arch[:, 1]), 0.1, atol=1e-6
+    )
+    assert arch[:, 2].min() >= -0.1 - 1e-6  # feet at the floor, not below
+    with pytest.raises(ValueError):
+        synthetic.make_scene(seed=0, num_points=100, family="nope")
+
+
+def test_load_scenes_curved_spec():
+    from mvkpconv_tpu.tools.common import load_scenes
+
+    scenes = load_scenes("synthetic-curved:1", False, 2, (24, 32))
+    labs = scenes[0]["labels"]
+    assert {2, 4, 7, 19} <= set(labs[labs >= 0].tolist())
+
+
 def test_render_views_geometry_consistency():
     """Unprojecting rendered depth must land back on scene surfaces."""
     scene = synthetic.make_scene(seed=2, num_points=30000)

@@ -242,14 +242,50 @@ def test_train_step_grad_parity_full_model(rng):
 
 
 def test_config_wires_mode_into_step():
+    """The step captures cfg.gather_transpose at ITS OWN trace time (the
+    scope opens inside the step body), without touching the process
+    default — two steps with different configs coexist (ADVICE r4)."""
     from mvkpconv_tpu.training.config import KPConfig
     from mvkpconv_tpu.training.steps import make_train_step
     import optax
 
-    cfg = KPConfig(gather_transpose="sorted")
+    probe = {}
+
+    def probing_apply(mode_label):
+        def apply_fn(variables, batch, train, mutable, rngs=None):
+            probe[mode_label] = get_gather_transpose()
+            logits = (
+                group_points(
+                    pad_shadow_row(variables["params"]["w"]), batch["idx"]
+                ).sum(-2)
+            )
+            return logits, {"batch_stats": {}}
+
+        return apply_fn
+
+    batch = {
+        "idx": jnp.zeros((1, 4, 2), jnp.int32),
+        "labels": jnp.zeros((1, 4), jnp.int32),
+        "mask": jnp.ones((1, 4), bool),
+    }
+    params = {"w": jnp.zeros((1, 8, 20), jnp.float32)}
+    tx = optax.sgd(0.1)
+    from mvkpconv_tpu.training.steps import create_train_state
+
     with transpose_mode("scatter"):
-        make_train_step(lambda *a, **k: None, optax.sgd(0.1), cfg)
-        assert get_gather_transpose() == "sorted"
+        steps, states = {}, {}
+        for mode in ("sorted", "banded"):
+            cfg = KPConfig(gather_transpose=mode)
+            steps[mode] = make_train_step(
+                probing_apply(mode), tx, cfg, donate=False
+            )
+            states[mode] = create_train_state({"params": params}, tx)
+        # interleave the traces: each step must see ITS config's mode
+        for mode in ("sorted", "banded"):
+            steps[mode](states[mode], batch)
+        assert probe == {"sorted": "sorted", "banded": "banded"}
+        # the process default is untouched
+        assert get_gather_transpose() == "scatter"
 
 
 def test_deformable_offset_grads_mode_parity(rng):
@@ -285,3 +321,57 @@ def test_deformable_offset_grads_mode_parity(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(bb), rtol=1e-4, atol=1e-5
             )
+
+
+# ---------------------------------------------------------------------------
+# sharded banded path (VERDICT r4 #1): the Pallas transpose must survive a
+# multi-device mesh via shard_map over the batch dim — not silently fall
+# back to scatter.
+
+
+@pytest.mark.parametrize("mode", ["banded", "banded_bf16"])
+def test_banded_sharded_vjp_matches_oracle(mode, rng):
+    from mvkpconv_tpu.ops.gather import gather_transpose
+    from mvkpconv_tpu.parallel import make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices, 1-D 'data' axis
+    b, ns, nq, k, c = 8, 40, 32, 5, 8
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+
+    with gather_transpose(mode, mesh=mesh):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        # the sharded transpose must be a shard_map in the jaxpr — proof
+        # the kernel runs shard-local instead of replicated-or-fallback
+        assert "shard_map" in str(jax.make_jaxpr(pull)(ct))
+        (d_feat,) = jax.jit(pull)(ct)
+
+    ct_ref = (
+        np.asarray(ct.astype(jnp.bfloat16)) if mode == "banded_bf16"
+        else np.asarray(ct)
+    )
+    want = _numpy_scatter_oracle(ct_ref, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), want, rtol=2e-3, atol=1e-5)
+
+
+def test_banded_sharded_indivisible_batch_falls_back_with_warning(rng):
+    import warnings
+
+    from mvkpconv_tpu.ops.gather import gather_transpose
+    from mvkpconv_tpu.parallel import make_mesh
+
+    mesh = make_mesh()
+    b, ns, nq, k, c = 3, 24, 16, 4, 6  # 3 does not shard over 8
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+
+    with gather_transpose("banded", mesh=mesh):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            (d_feat,) = pull(ct)
+        assert any("falling back" in str(w.message) for w in rec)
+    want = _numpy_scatter_oracle(np.asarray(ct), index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), want, rtol=1e-5, atol=1e-6)

@@ -25,13 +25,17 @@ def test_mesh_shapes():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("gather_transpose", ["scatter", "sorted"])
+@pytest.mark.parametrize(
+    "gather_transpose", ["scatter", "sorted", "banded", "banded_bf16"]
+)
 def test_sharded_train_step_matches_single_device(gather_transpose):
     # 'sorted' pins that the sort/searchsorted gather transpose is
     # GSPMD-partitionable (the flat b·Ns row-fold crosses the sharded
-    # batch dim). 'window' (Pallas) is excluded: pallas_call does not
-    # auto-partition — it needs shard_map before it can be a sharded
-    # default (documented in KPConfig.gather_transpose).
+    # batch dim). 'banded'/'banded_bf16' pin the shard_map path: the
+    # Pallas kernel cannot auto-partition, so make_train_step(mesh=...)
+    # wraps it shard-local over the data axis (VERDICT r4 #1) — the test
+    # asserts the mode SURVIVES (no silent scatter fallback) and matches
+    # the single-device step bit-close.
     cfg = KPConfig(
         num_points=(256, 64),
         conv_neighbors=(10, 10),
@@ -62,13 +66,25 @@ def test_sharded_train_step_matches_single_device(gather_transpose):
     state1 = create_train_state(variables, tx)
     state1, stats1 = step1(state1, batch)
 
-    # sharded run over the 8-device mesh
+    # sharded run over the 8-device mesh; banded modes get the mesh so the
+    # shard_map path (not the scatter fallback) is what runs
     mesh = make_mesh()
     state2 = jax.device_put(create_train_state(variables, tx), replicated(mesh))
     sbatch = shard_batch(batch, mesh)
     assert sbatch["points"].sharding.spec == batch_sharding(mesh).spec
-    step2 = make_train_step(apply_fn, tx, cfg, donate=False)
-    state2, stats2 = step2(state2, sbatch)
+    step2 = make_train_step(
+        apply_fn, tx, cfg, donate=False,
+        mesh=mesh if gather_transpose.startswith("banded") else None,
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        # the banded fallback emits a warning — escalate it so a silent
+        # mode regression fails the test
+        _w.filterwarnings(
+            "error", message=".*falling back to the scatter transpose.*"
+        )
+        state2, stats2 = step2(state2, sbatch)
 
     np.testing.assert_allclose(
         float(stats1["loss"]), float(stats2["loss"]), rtol=1e-5

@@ -65,7 +65,9 @@ def test_train_fusion_cli(tmp_path):
 
 
 def test_train_2d_cli(tmp_path):
-    from mvkpconv_tpu.tools import train_2d
+    import json
+
+    from mvkpconv_tpu.tools import test_2d, train_2d
 
     cfgp = _write_cfg(tmp_path)
     train_2d.main([
@@ -73,6 +75,21 @@ def test_train_2d_cli(tmp_path):
         "--output", str(tmp_path / "run2d"), "--steps", "2",
     ])
     assert (tmp_path / "run2d" / "checkpoints" / "last_checkpoint").exists()
+
+    # standalone 2D eval CLI (mvpnet/test_2d.py parity): scoring the saved
+    # checkpoint over the same full frame set must REPRODUCE the miou the
+    # trainer's in-loop eval computed for that state (one code path)
+    ev = test_2d.main([
+        "--run", str(tmp_path / "run2d"), "--data", "synthetic:1",
+    ])
+    assert (tmp_path / "run2d" / "test_2d_IoUs.txt").exists()
+    val_mious = [
+        rec["value"]
+        for l in (tmp_path / "run2d" / "scalars.jsonl").read_text().splitlines()
+        if (rec := json.loads(l))["tag"] == "val_miou"
+    ]
+    assert val_mious, "trainer logged no val_miou"
+    np.testing.assert_allclose(ev.miou, val_mious[-1], atol=1e-6)
 
 
 def test_train_and_test_mvpnet_cli(tmp_path):
