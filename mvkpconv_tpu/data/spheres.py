@@ -21,6 +21,8 @@ Scene dict schema (synthetic.make_scene or scannet_io loaders):
 
 from __future__ import annotations
 
+import time
+from collections import defaultdict
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -173,6 +175,13 @@ class SphereDataset:
             )
             self.pot_points.append(coarse)
             self.potentials.append(self.rng.rand(len(coarse)) * 1e-3)
+        # per-stage wall-clock of sample_sphere, seconds per call, appended
+        # on every call (perf_counter overhead is negligible next to the
+        # numpy work), plus raw in-sphere point counts BEFORE the crop.
+        # tools/inspect_dataset.py reports these — the analog of the
+        # reference's debug_timing (ScanNet_sphere_color.py:1694).
+        self.stage_times: Dict[str, List[float]] = defaultdict(list)
+        self.sphere_counts: List[int] = []
 
     @staticmethod
     def _frame_pixel_clouds(scene, stride: int = 4):
@@ -236,17 +245,28 @@ class SphereDataset:
 
     def sample_sphere(self) -> Dict[str, np.ndarray]:
         cfg = self.cfg
+        tick = time.perf_counter()
+
+        def lap(stage):
+            nonlocal tick
+            now = time.perf_counter()
+            self.stage_times[stage].append(now - tick)
+            tick = now
+
         si, center = self._pick_center()
+        lap("pick_center")
         scene = self.scenes[si]
         pts = scene["points"]
         d2 = np.sum((pts - center) ** 2, 1)
         inds = np.flatnonzero(d2 < cfg.in_radius**2)
+        self.sphere_counts.append(len(inds))
         n0 = cfg.num_points[0]
         if len(inds) > n0:
             inds = self.rng.choice(inds, n0, replace=False)
         sphere_abs = pts[inds]
         colors = scene["colors"][inds]
         labels = scene["labels"][inds]
+        lap("crop")
         if self.training and self.rng.rand() > cfg.augment_color:
             # color-drop augmentation (ScanNet_sphere_color feature assembly:
             # with probability 1−augment_color the point colors are zeroed)
@@ -257,6 +277,7 @@ class SphereDataset:
         )
         features = assemble_features(sphere_abs, colors, base_dim, cfg.use_point_color)
         points = sphere_abs - center
+        lap("features")
 
         item = {"scene_index": si, "center": center, "point_indices": inds}
         if "rgbd_overlap" in scene:
@@ -267,11 +288,13 @@ class SphereDataset:
                 intrinsics=scene["intrinsics"][frames],
                 poses=self._centered_poses(scene["poses"][frames], center),
             )
+            lap("select_frames")
         if self.training:
             extra = None
             points, extra, R, scale = augment_points(points, cfg, self.rng)
             if "poses" in item:
                 item["poses"] = self._augment_poses(item["poses"], R, scale)
+            lap("augment")
         n = len(points)
         pad = n0 - n
 
@@ -289,6 +312,7 @@ class SphereDataset:
             # precomputed whole-scene lifted 2D features, sliced per sphere
             # (the ScanNet_new.py:413-417 input_inds route)
             item["feature_2d3d"] = padded(scene["feature_2d3d"][inds])
+        lap("pad")
         return item
 
     @staticmethod

@@ -179,6 +179,42 @@ def test_sphere_dataset_with_views():
     assert batch["features"].shape[-1] == 2  # 66 - 64
 
 
+def test_inspect_dataset_flags_miscalibrated_budget(tmp_path):
+    """tools/inspect_dataset must flag a deliberately starved neighbor
+    budget and pass a generous one (the reference's
+    debug_batch_and_neighbors_calib role, ScanNet_sphere_color.py:1694+)."""
+    from mvkpconv_tpu.tools import inspect_dataset
+
+    bad = small_cfg(conv_neighbors=(2, 2), pool_neighbors=(2,))
+    p = tmp_path / "bad.txt"
+    bad.save(p)
+    report = inspect_dataset.main([
+        "--data", "synthetic:1", "--config", str(p),
+        "--spheres", "4", "--output", str(tmp_path / "bad_out"),
+    ])
+    conv0 = next(r for r in report["budgets"]
+                 if r["kind"] == "conv" and r["level"] == 0)
+    assert not conv0["ok"] and conv0["truncation_rate"] > 0.1
+    assert (tmp_path / "bad_out" / "inspect_dataset.json").exists()
+    with pytest.raises(SystemExit):
+        inspect_dataset.main([
+            "--data", "synthetic:1", "--config", str(p), "--strict",
+            "--spheres", "4", "--output", str(tmp_path / "bad_out2"),
+        ])
+
+    good = small_cfg(conv_neighbors=(60, 60), pool_neighbors=(60,))
+    p2 = tmp_path / "good.txt"
+    good.save(p2)
+    report2 = inspect_dataset.main([
+        "--data", "synthetic:1", "--config", str(p2), "--max-headroom", "100",
+        "--spheres", "4", "--output", str(tmp_path / "good_out"),
+    ])
+    assert all(r["ok"] for r in report2["budgets"])
+    # timing + occupancy sections populated from the real sampling path
+    assert report2["stage_ms"].get("crop", 0) > 0
+    assert 0 <= report2["sphere_counts"]["padding_fraction"] <= 1
+
+
 def test_prefetch_iterator_order_and_errors():
     from mvkpconv_tpu.data.prefetch import prefetch
 
