@@ -161,3 +161,171 @@ class ServingModel:
 def infer_kind(cfg) -> str:
     """Model family from config (mirrors tools/common.py construction)."""
     return "kpfcnn" if cfg.fusion == "none" else "mvkpconv"
+
+
+# ---------------------------------------------------------------------------
+# Whole-scene export: the reference's actual test workload (test_models.py
+# voting over full clouds) as ONE serialized program.
+# ---------------------------------------------------------------------------
+
+
+def cover_centers(points, in_radius: float, core_ratio: float = 0.7):
+    """Deterministic sphere centers whose CORE regions cover the cloud.
+
+    Serving replaces the reference tester's stochastic potential sweep
+    (utils/tester.py:90-185) with a static grid: occupied cells of pitch
+    ``2·core_radius/√3`` (so every point lies within the core radius of
+    its cell's centroid), centers at the per-cell point centroids.
+
+    Returns (S, 3) float32, numpy (host-side helper).
+    """
+    import numpy as np
+
+    core_r = core_ratio * in_radius
+    pitch = 2.0 * core_r / np.sqrt(3.0)
+    cells = np.floor(points / pitch).astype(np.int64)
+    _, inverse, counts = np.unique(
+        cells, axis=0, return_inverse=True, return_counts=True
+    )
+    sums = np.zeros((len(counts), 3), np.float64)
+    np.add.at(sums, inverse, points)
+    return (sums / counts[:, None]).astype(np.float32)
+
+
+def pad_centers(centers, num_centers: int):
+    """Pad/trim a ``cover_centers`` result to the artifact's static count.
+
+    Padding repeats existing centers — repeated spheres add identical
+    probabilities and counts, so the mean accumulation is unchanged.
+    """
+    import numpy as np
+
+    if len(centers) >= num_centers:
+        if len(centers) > num_centers:
+            raise ValueError(
+                f"{len(centers)} cover centers exceed the artifact's "
+                f"static budget {num_centers}; re-export with a larger "
+                f"num_centers"
+            )
+        return centers
+    reps = -(-num_centers // len(centers))
+    return np.tile(centers, (reps, 1))[:num_centers]
+
+
+def scene_spec_for(cfg, max_points: int, num_centers: int):
+    """ShapeDtypeStruct pytree of the whole-scene serving contract."""
+    f32 = jnp.float32
+    base_dim = cfg.in_features_dim - cfg.feature_2d_dim
+    spec = {
+        "points": jax.ShapeDtypeStruct((max_points, 3), f32),
+        "mask": jax.ShapeDtypeStruct((max_points,), jnp.bool_),
+        "features": jax.ShapeDtypeStruct((max_points, base_dim), f32),
+        "centers": jax.ShapeDtypeStruct((num_centers, 3), f32),
+    }
+    if cfg.fusion != "none":
+        spec["feature_2d3d"] = jax.ShapeDtypeStruct(
+            (max_points, cfg.feature_2d_dim), f32
+        )
+    return spec
+
+
+def export_whole_scene(
+    model,
+    cfg,
+    kind: str,
+    variables,
+    max_points: int,
+    num_centers: int,
+    core_ratio: float = 0.7,
+    platforms: Optional[Sequence[str]] = None,
+    allow_custom_calls: Sequence[str] = (),
+) -> bytes:
+    """Serialize a FULL-CLOUD inference program (scene → per-point probs).
+
+    The artifact embeds the sphere sweep the reference runs in host Python
+    (KPConv-PyTorch/test_models.py + utils/tester.py cloud_segmentation_
+    test): ``lax.scan`` over ``centers`` in chunks of ``cfg.batch_num``;
+    each chunk extracts its spheres on device (top-``num_points[0]``
+    nearest to the center, radius/shadow masked), runs the trunk, and
+    mean-accumulates core-region probabilities (within ``core_ratio·
+    in_radius`` of the center — tester.py:90,179) into per-point buffers.
+
+    Input contract (see :func:`scene_spec_for`):
+      points (Nmax,3) shadow-padded subsampled cloud · mask (Nmax,) ·
+      features (Nmax, base_dim) precomputed point features ·
+      centers (S,3) from :func:`cover_centers`/:func:`pad_centers` ·
+      [fusion configs] feature_2d3d (Nmax, 64) precomputed lifted 2D
+      features (eval/precompute.py whole-scene pass — the
+      architectures_new.py precomputed route).
+
+    Returns StableHLO bytes; the loaded artifact returns
+    ``{"probs": (Nmax, C), "votes": (Nmax,)}`` — ``votes`` counts core
+    predictions per point (0 ⇒ the centers missed it).
+    """
+    from mvkpconv_tpu.ops.common import SHADOW_COORD
+
+    apply_fn = make_apply_fn(model, cfg, kind)
+    frozen = jax.device_get(variables)
+    n0 = cfg.num_points[0]
+    bsz = cfg.batch_num
+    if num_centers % bsz != 0:
+        raise ValueError(
+            f"num_centers={num_centers} must be a multiple of "
+            f"batch_num={bsz} (centers sweep in batch-size chunks)"
+        )
+    r2 = float(cfg.in_radius) ** 2
+    core2 = (core_ratio * float(cfg.in_radius)) ** 2
+    with_2d = cfg.fusion != "none"
+
+    def infer_scene(scene):
+        pts, msk = scene["points"], scene["mask"]
+        nmax = pts.shape[0]
+
+        def step(carry, cb):
+            psum, cnt = carry
+            d2 = jnp.sum((pts[None] - cb[:, None]) ** 2, -1)  # (B, Nmax)
+            d2 = jnp.where(msk[None], d2, jnp.inf)
+            neg, idx = jax.lax.top_k(-d2, n0)
+            d2s = -neg
+            valid = d2s < r2
+            sphere = jnp.where(
+                valid[..., None], pts[idx] - cb[:, None], SHADOW_COORD
+            )
+            batch = {
+                "points": sphere,
+                "mask": valid,
+                "features": scene["features"][idx],
+            }
+            if with_2d:
+                batch["feature_2d3d"] = scene["feature_2d3d"][idx]
+            logits, _ = apply_fn(frozen, batch, False, False)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), -1)
+            core = (valid & (d2s < core2)).astype(jnp.float32)
+            rows = (probs * core[..., None]).reshape(-1, probs.shape[-1])
+            flat = jnp.where(valid, idx, nmax).reshape(-1)  # invalid → drop
+            psum = psum.at[flat].add(rows, mode="drop")
+            cnt = cnt.at[flat].add(core.reshape(-1), mode="drop")
+            return (psum, cnt), None
+
+        init = (
+            jnp.zeros((nmax, cfg.num_classes), jnp.float32),
+            jnp.zeros((nmax,), jnp.float32),
+        )
+        (psum, cnt), _ = jax.lax.scan(
+            step, init, scene["centers"].reshape(-1, bsz, 3)
+        )
+        return {
+            "probs": psum / jnp.maximum(cnt, 1.0)[:, None],
+            "votes": cnt,
+        }
+
+    spec = scene_spec_for(cfg, max_points, num_centers)
+    exp = jax_export.export(
+        jax.jit(infer_scene),
+        platforms=tuple(platforms) if platforms else None,
+        disabled_checks=[
+            jax_export.DisabledSafetyCheck.custom_call(t)
+            for t in allow_custom_calls
+        ],
+    )(spec)
+    return bytes(exp.serialize())

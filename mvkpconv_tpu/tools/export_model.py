@@ -46,6 +46,18 @@ def main(argv=None):
                     "is then tied to the exporting jaxlib generation")
     ap.add_argument("--selftest", action="store_true",
                     help="reload the artifact and run one batch through it")
+    ap.add_argument("--whole-scene", action="store_true",
+                    help="export the FULL-CLOUD program (sphere sweep + "
+                    "vote accumulation inside the artifact — the "
+                    "reference's test_models.py workload) instead of the "
+                    "per-sphere-batch unit")
+    ap.add_argument("--max-points", type=int, default=262144,
+                    help="whole-scene artifact: static subsampled-cloud "
+                    "point budget")
+    ap.add_argument("--num-centers", type=int, default=256,
+                    help="whole-scene artifact: static sphere-center "
+                    "budget (must be a multiple of batch_num; pad real "
+                    "center lists with eval.export.pad_centers)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args(argv)
 
@@ -111,19 +123,40 @@ def main(argv=None):
                      "batch_stats": restored.batch_stats}
 
     platforms = args.platforms.split(",") if args.platforms else None
-    data = export_inference(
-        model, cfg, kind, variables, spec, platforms,
-        allow_custom_calls=("tpu_custom_call",) if args.allow_custom_calls
-        else (),
-    )
+    allow = ("tpu_custom_call",) if args.allow_custom_calls else ()
+    if args.whole_scene:
+        from mvkpconv_tpu.eval.export import export_whole_scene, scene_spec_for
+
+        data = export_whole_scene(
+            model, cfg, kind, variables, args.max_points, args.num_centers,
+            platforms=platforms, allow_custom_calls=allow,
+        )
+        spec = scene_spec_for(cfg, args.max_points, args.num_centers)
+    else:
+        data = export_inference(
+            model, cfg, kind, variables, spec, platforms,
+            allow_custom_calls=allow,
+        )
     path = save_exported(data, args.artifact)
-    print(f"exported {kind} ({len(data) / 1e6:.1f} MB) -> {path}")
+    print(f"exported {kind}{' whole-scene' if args.whole_scene else ''} "
+          f"({len(data) / 1e6:.1f} MB) -> {path}")
 
     if args.selftest:
         served = ServingModel.load(path)
-        probs = np.asarray(served(batch))
-        print(f"selftest OK: platforms={served.platforms} "
-              f"probs shape={probs.shape} checksum={probs.sum():.4f}")
+        if args.whole_scene:
+            scene = {
+                k: jnp.ones(s.shape, s.dtype) if k == "mask"
+                else jnp.asarray(rng.rand(*s.shape).astype(np.float32))
+                for k, s in spec.items()
+            }
+            out = served(scene)
+            probs, votes = np.asarray(out["probs"]), np.asarray(out["votes"])
+            print(f"selftest OK: platforms={served.platforms} probs shape="
+                  f"{probs.shape} voted points={int((votes > 0).sum())}")
+        else:
+            probs = np.asarray(served(batch))
+            print(f"selftest OK: platforms={served.platforms} "
+                  f"probs shape={probs.shape} checksum={probs.sum():.4f}")
 
 
 if __name__ == "__main__":

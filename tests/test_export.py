@@ -148,6 +148,92 @@ def test_export_mvpnet_roundtrip(rng, tmp_path):
 
 
 @pytest.mark.slow
+def test_whole_scene_export_reproduces_voting(tmp_path):
+    """The whole-scene artifact (VERDICT r4 #9) must reproduce the
+    VotingTester's full-cloud predictions on a synthetic scene within
+    smoothing tolerance (the artifact mean-accumulates; the tester
+    exponentially smooths a stochastic potential sweep —
+    utils/tester.py:90-185)."""
+    import optax
+
+    from mvkpconv_tpu.data import SphereDataset, synthetic
+    from mvkpconv_tpu.data.spheres import assemble_features, device_batch
+    from mvkpconv_tpu.eval.export import (
+        cover_centers,
+        export_whole_scene,
+        pad_centers,
+    )
+    from mvkpconv_tpu.eval.voting import VotingTester
+    from mvkpconv_tpu.training.init import jit_init
+    from mvkpconv_tpu.training.optim import make_optimizer
+    from mvkpconv_tpu.training.steps import (
+        create_train_state,
+        make_apply_fn,
+        make_eval_step,
+        make_train_step,
+    )
+
+    cfg = _cfg("none").replace(
+        num_points=(512, 128), batch_num=2, in_radius=1.2,
+        first_subsampling_dl=0.12,
+    )
+    scene = synthetic.make_scene(seed=3, num_points=20000)
+    ds = SphereDataset([scene], cfg, training=False, seed=0)
+    model = KPFCNN(cfg)
+    apply_fn = make_apply_fn(model, cfg, "kpfcnn")
+
+    # brief training so predictions are confident (argmax agreement between
+    # two averaging schemes is only meaningful off the uniform plateau)
+    tds = SphereDataset([scene], cfg, training=True, seed=1)
+    b0 = device_batch(tds.sample_batch())
+    pyr0 = build_pyramid(jnp.asarray(b0["points"]), jnp.asarray(b0["mask"]),
+                         cfg.pyramid_spec())
+    variables = jit_init(model, jnp.asarray(b0["features"]), pyr0)
+    tx = make_optimizer(cfg)
+    state = create_train_state(variables, tx)
+    step = make_train_step(apply_fn, tx, cfg, donate=False)
+    for _ in range(30):
+        state, _ = step(state, device_batch(tds.sample_batch()))
+    trained = {"params": state.params, "batch_stats": state.batch_stats}
+
+    eval_step = make_eval_step(apply_fn, cfg)
+    tester = VotingTester(
+        ds, lambda b: eval_step(state, b), cfg.num_classes, num_votes=4.0
+    )
+    tester.run(max_batches=60, prefetch_depth=0)
+    want = tester.probs[0].argmax(-1)
+
+    pts = ds.scenes[0]["points"]
+    nmax = 16384
+    assert len(pts) <= nmax
+    base_dim = cfg.in_features_dim - cfg.feature_2d_dim
+    feats = assemble_features(
+        pts, ds.scenes[0]["colors"], base_dim, cfg.use_point_color
+    )
+    centers = pad_centers(cover_centers(pts, cfg.in_radius), 192)
+
+    def pad(a, fill=0.0):
+        return np.pad(a, [(0, nmax - len(a))] + [(0, 0)] * (a.ndim - 1),
+                      constant_values=fill)
+
+    data = export_whole_scene(model, cfg, "kpfcnn", trained, nmax, 192)
+    served = ServingModel.from_bytes(data)
+    out = served({
+        "points": jnp.asarray(pad(pts, 1e6)),
+        "mask": jnp.asarray(np.arange(nmax) < len(pts)),
+        "features": jnp.asarray(pad(feats)),
+        "centers": jnp.asarray(centers),
+    })
+    votes = np.asarray(out["votes"])[: len(pts)]
+    got = np.asarray(out["probs"])[: len(pts)].argmax(-1)
+
+    # cover_centers guarantees every point sits in some core region
+    assert (votes > 0).mean() > 0.99
+    agree = (got == want)[votes > 0].mean()
+    assert agree > 0.8, f"artifact/tester argmax agreement {agree:.2%}"
+
+
+@pytest.mark.slow
 def test_export_cli_selftest(rng, tmp_path):
     """tools/export_model end-to-end: config on disk → artifact → selftest."""
     from mvkpconv_tpu.tools import export_model
