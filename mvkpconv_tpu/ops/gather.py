@@ -459,8 +459,10 @@ def _transpose_banded(ct, index, feat_shape, interpret=None):
         # total==0 so the typical step pays only the blocked count cumsum.
         cov = (a_lo + nwin) * sub  # (nblk,) first uncovered target
         flags = (offb >= cov[:, None]).reshape(-1)  # off=-1 never >= cov
-        pos = _blocked_cumsum_1d(flags.astype(jnp.int32), blk)
-        total = pos[-1]
+        # the common (no-residual) step pays only this flat reduction; the
+        # row-position cumsum happens INSIDE the taken branch (a closure
+        # value would be a cond operand, computed even when total == 0)
+        total = jnp.sum(flags.astype(jnp.int32))
         max_out = max(1024, n_rows // 512)
         dump = b * ns
 
@@ -473,6 +475,7 @@ def _transpose_banded(ct, index, feat_shape, interpret=None):
             tgt_all = base_row + off.reshape(-1)
 
             def compact(_):
+                pos = _blocked_cumsum_1d(flags.astype(jnp.int32), blk)
                 slots = jnp.arange(max_out, dtype=jnp.int32) + 1
                 oi = jnp.searchsorted(
                     pos, slots, side="left"

@@ -66,6 +66,14 @@ def _kernel(base_ref, alo_ref, ahi_ref, off_ref, rows_ref, out_ref,
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
 
+    # NOTE (round 5): a masked-rows variant — off split as hi*sub + lo,
+    # (sub, BLK) one-hot built ONCE per block from lo, rows zeroed per
+    # window by the quotient mask (hi == a) on the much smaller
+    # (BLK, c_blk) side — is ~5x fewer VPU element-ops on paper but
+    # measured 20% SLOWER on v5e (L0 c=32: 23.6 vs 19.5 ms; c=66
+    # batch-split: 27.5 vs 23.3): the per-window rows multiply
+    # materializes a fresh MXU operand each window and breaks the
+    # compare→matmul staging fusion the per-window one-hot enjoys.
     off = off_ref[0]      # (1, BLK) i32; -1 = dropped row
     rows = rows_ref[...]  # (BLK, c_blk) f32 or bf16
     precision = (
@@ -110,6 +118,12 @@ def _kernel(base_ref, alo_ref, ahi_ref, off_ref, rows_ref, out_ref,
             )
         packed = groups[0] if pk == 1 else jnp.concatenate(groups, axis=1)
         p0 = (base0 + a * sub) // pk
+        if pk == 1 and sub % 8 == 0:
+            # wide chunks (c_blk > 128, multi-tile lanes) require a
+            # PROVABLY 8-aligned sublane index; with pk == 1 it is one by
+            # the 8-aligned-base contract (base0 + a*sub, sub % 8 == 0) —
+            # the annotation is what makes Mosaic accept the accumulate
+            p0 = pl.multiple_of(p0, 8)
         out_ref[pl.ds(p0, sp), :] = out_ref[pl.ds(p0, sp), :] + packed
 
     # always guarded: a fully-dropped block has a_hi < a_lo and must not
@@ -141,7 +155,7 @@ def _pick_packing(c, sub, ndistinct, nwin, vmem_budget_bytes):
         max_pk *= 2
 
     def fit(c_blk):
-        pk = min(128 // c_blk, max_pk)
+        pk = max(1, min(128 // c_blk, max_pk))
         rows_p = -(-(ndistinct + sub + pk) // pk)
         # VMEM tiles are (8, 128): blocks narrower than 128 lanes still
         # occupy 128 — budget with the padded width
@@ -149,8 +163,10 @@ def _pick_packing(c, sub, ndistinct, nwin, vmem_budget_bytes):
             return c_blk, pk, rows_p
         return None
 
-    for c_blk in (8, 16, 32, 64, 128):  # single chunk, least pad first
-        if c_blk >= c and fit(c_blk):
+    # wide chunks (pk = 1, minor dims stay 128-divisible) keep the c=256+
+    # decoder/upsample sites on the kernel instead of the scatter fallback
+    for c_blk in (8, 16, 32, 64, 128, 256, 512, 1024):
+        if c_blk >= c and fit(c_blk):  # single chunk, least pad first
             return fit(c_blk)
     for c_blk in (128, 64, 32, 16, 8):  # multi-chunk, widest fitting
         if c_blk <= c and fit(c_blk):
