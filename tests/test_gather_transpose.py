@@ -110,6 +110,29 @@ def test_banded_batch_split_path(rng):
     np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("ns,c", [(1025, 256), (257, 512)])
+def test_banded_wide_channel_sites_stay_on_kernel(rng, ns, c):
+    """The c=256+ decoder/upsample transposes ride the kernel via wide
+    single chunks (pk=1, r5) instead of the scatter fallback: the packing
+    must pick a single chunk covering all channels, and the VJP must
+    match the oracle."""
+    from mvkpconv_tpu.ops.pallas.segsum import _pick_packing
+
+    b, nq, k = 2, 200, 1
+    ns8 = -(-ns // 8) * 8
+    c_blk, pk, _ = _pick_packing(c, 512, ns8, 2, 10 * 1024 * 1024)
+    assert c_blk >= c and pk == 1  # kernel route, not the scatter fallback
+
+    feats = jnp.asarray(rng.randn(b, ns, c), jnp.float32)
+    index = jnp.asarray(rng.randint(0, ns, (b, nq, k)), jnp.int32)
+    ct = jnp.asarray(rng.randn(b, nq, k, c), jnp.float32)
+    with transpose_mode("banded"):
+        _, pull = jax.vjp(lambda f: group_points(f, index), feats)
+        (d_feat,) = jax.jit(pull)(ct)
+    oracle = _numpy_scatter_oracle(ct, index, ns)
+    np.testing.assert_allclose(np.asarray(d_feat), oracle, rtol=2e-5, atol=2e-5)
+
+
 def test_banded_residual_path(rng):
     """ns large enough that nsub_full > NWIN and indices spread over the
     whole source: most rows exceed the per-block window budget and must
