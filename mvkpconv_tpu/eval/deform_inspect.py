@@ -186,6 +186,28 @@ def dump_deform_plys(
              "kp_id", "min_d2"],
         )
         paths.append(path)
+
+        # Interactive twin of the mayavi kernel stepper
+        # (KPConv-PyTorch/utils/visualizer.py:270-430): standalone HTML,
+        # scene cloud + deformed-KP overlay, lost KPs (min_d2 > 1) toggled
+        # separately so divergence is visible at a glance.
+        from mvkpconv_tpu.utils.html_viewer import save_html_viewer
+
+        lost = kp_d2 > 1.0
+        save_html_viewer(
+            out_dir / f"deform_layer{li}_L{lay['level']}.html",
+            [
+                {"name": "level cloud", "points": cloud_xyz,
+                 "colors": cloud_rgb},
+                {"name": "deformed kernel points",
+                 "points": kp_xyz[~lost], "colors": kp_rgb[~lost],
+                 "size": 2.0},
+                {"name": "lost kernel points (min_d2 > 1)",
+                 "points": kp_xyz[lost], "colors": kp_rgb[lost],
+                 "size": 2.0},
+            ],
+            title=f"deformable layer {li} (level {lay['level']})",
+        )
     return paths
 
 

@@ -24,6 +24,9 @@ def main(argv=None):
     add_common_args(ap)
     ap.add_argument("--run", required=True, help="training output dir")
     ap.add_argument("--votes", type=float, default=30.0)
+    ap.add_argument("--html", action="store_true",
+                    help="also write standalone interactive HTML viewers "
+                         "(pred/gt/error clouds) next to the PLYs")
     args = ap.parse_args(argv)
 
     import jax
@@ -83,7 +86,10 @@ def main(argv=None):
     print(ev.table())
     # prediction + potentials PLYs, like the reference's test artifact dumps
     # (tester.py:320-365)
-    tester.save_artifacts(run / "test_preds")
+    from mvkpconv_tpu.data.meta import CLASS_NAMES
+
+    tester.save_artifacts(run / "test_preds", html=args.html,
+                          class_names=CLASS_NAMES)
     print(f"prediction/potentials plys written to {run / 'test_preds'}")
     full = tester.score_reprojected(scenes)
     print(f"\nfull-resolution mIoU {full.miou:.4f}  OA {full.overall_accuracy:.4f}")

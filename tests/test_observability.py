@@ -61,9 +61,62 @@ def test_voting_save_artifacts(tmp_path, rng):
 
     tester = VotingTester(ds, predict, cfg.num_classes, num_votes=0.5)
     tester.run(max_batches=4)
-    tester.save_artifacts(tmp_path / "preds")
+    from mvkpconv_tpu.data.meta import CLASS_NAMES
+
+    tester.save_artifacts(tmp_path / "preds", html=True,
+                          class_names=CLASS_NAMES)
     plys = sorted((tmp_path / "preds").glob("*.ply"))
     assert len(plys) == 4  # 2 scenes × (pred + potentials)
     data = read_ply(next(p for p in plys if "pred" in p.name))
     for field in ("x", "pred", "gt", "error", "red"):
         assert field in data
+    htmls = sorted((tmp_path / "preds").glob("*_viewer.html"))
+    assert len(htmls) == 2
+
+
+def test_html_viewer_roundtrip(tmp_path, rng):
+    """The standalone viewer must embed the exact (centered/scaled) cloud:
+    decode the base64 payloads back out of the HTML and check counts,
+    dtype widths, legend entries, and the renderer scaffolding."""
+    import base64
+    import re
+
+    from mvkpconv_tpu.data.meta import CLASS_NAMES
+    from mvkpconv_tpu.utils.html_viewer import save_html_viewer
+
+    pts = rng.rand(1000, 3).astype(np.float32)
+    labels = rng.randint(0, 5, 1000)
+    overlay = rng.rand(30, 3).astype(np.float32)
+    red = np.tile(np.array([[255, 0, 0]], np.uint8), (30, 1))
+    out = save_html_viewer(
+        tmp_path / "v.html",
+        [
+            {"name": "scene", "points": pts, "labels": labels},
+            {"name": "overlay", "points": overlay, "colors": red,
+             "size": 3.0, "on": False},
+        ],
+        class_names=CLASS_NAMES,
+        title="roundtrip",
+    )
+    html = out.read_text()
+    assert "<canvas" in html and "zbuf" in html  # renderer scaffolding
+    meta = json.loads(re.search(r"const META = (\{.*?\});\n", html).group(1))
+    assert [c["name"] for c in meta["clouds"]] == ["scene", "overlay"]
+    xyz = np.frombuffer(base64.b64decode(meta["clouds"][0]["xyz"]), np.float32)
+    rgb = np.frombuffer(base64.b64decode(meta["clouds"][0]["rgb"]), np.uint8)
+    assert xyz.shape == (3000,) and rgb.shape == (3000,)
+    assert np.abs(xyz).max() <= 1.0 + 1e-5  # centered + scaled
+    ov = np.frombuffer(base64.b64decode(meta["clouds"][1]["rgb"]), np.uint8)
+    assert (ov.reshape(-1, 3) == red).all()
+    assert meta["clouds"][1]["on"] is False
+    legend_names = {e[0] for e in meta["legend"]}
+    assert legend_names == set(CLASS_NAMES[:5])
+
+    # subsampling bound honored
+    big = save_html_viewer(
+        tmp_path / "big.html",
+        [{"name": "s", "points": rng.rand(5000, 3), "labels": np.zeros(5000, int)}],
+        max_points=1200,
+    )
+    meta2 = json.loads(re.search(r"const META = (\{.*?\});\n", big.read_text()).group(1))
+    assert len(base64.b64decode(meta2["clouds"][0]["xyz"])) == 1200 * 12
